@@ -1,0 +1,233 @@
+"""Host-built BVH over world-space triangles, flattened for stackless
+lockstep traversal on TPU.
+
+This plays the role of the reference's VK_KHR_acceleration_structure
+BLAS/TLAS (`src/raytracer/acceleration_structure.odin`,
+`gpu_scene.odin:209-315`), redesigned TPU-first:
+
+  - Instead of per-mesh BLAS + instance TLAS, all triangles are
+    pre-transformed to world space at bake time and ONE BVH is built over
+    them (scene sizes here — up to ~300k tris — easily fit; this removes a
+    level of indirection from the per-ray inner loop, which on TPU is pure
+    gather cost).
+  - The driver's fixed-function BVH build is replaced by a host binned-SAH
+    builder (numpy, with an optional native C++ fast path — see
+    native/bvh_builder.cpp); "UPDATE mode" refit
+    (acceleration_structure.odin:125-131) becomes `refit()`, which recomputes
+    node AABBs bottom-up without changing topology.
+  - Hardware traversal is replaced by a vectorized stackless skip-link walk
+    (ops/traverse.py): depth-first node order, hit -> node+1,
+    miss/leaf-done -> skip[node]. Per-ray state is just one node index, so a
+    whole wavefront advances in lockstep with two gathers per step.
+
+Flattened layout (SoA, static shapes):
+  nodes_min/max f32[NN,3]  AABBs
+  nodes_skip    i32[NN]    next node on miss / after leaf (NN = "done")
+  nodes_first   i32[NN]    first triangle (leaves; 0 for internal)
+  nodes_count   i32[NN]    triangle count (0 = internal node)
+  tri_order     i32[T]     permutation: BVH leaf order -> input order
+  parent        i32[NN]    for bottom-up refit
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+_SAH_BINS = 16
+_TRAVERSAL_COST = 1.0
+_INTERSECT_COST = 1.5
+
+
+@dataclasses.dataclass
+class BVH:
+    nodes_min: np.ndarray  # f32[NN,3]
+    nodes_max: np.ndarray  # f32[NN,3]
+    nodes_skip: np.ndarray  # i32[NN]
+    nodes_first: np.ndarray  # i32[NN]
+    nodes_count: np.ndarray  # i32[NN]
+    tri_order: np.ndarray  # i32[T] (triangle ids in leaf order)
+    parent: np.ndarray  # i32[NN]
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.nodes_skip)
+
+    def refit(self, v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
+        """Recompute AABBs bottom-up for updated (already reordered) triangle
+        world positions — the analog of TLAS UPDATE-mode rebuild
+        (gpu_scene.odin:457-482). Topology is unchanged, so quality degrades
+        under large motion exactly like a driver refit would."""
+        lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+        hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+        nn = self.num_nodes
+        new_min = np.full((nn, 3), np.inf, np.float32)
+        new_max = np.full((nn, 3), -np.inf, np.float32)
+        # Leaves first.
+        for i in np.nonzero(self.nodes_count > 0)[0]:
+            f, c = self.nodes_first[i], self.nodes_count[i]
+            new_min[i] = lo[f : f + c].min(axis=0)
+            new_max[i] = hi[f : f + c].max(axis=0)
+        # Internal nodes in reverse depth-first order (children have larger
+        # indices than parents in preorder layout).
+        for i in range(nn - 1, -1, -1):
+            p = self.parent[i]
+            if p >= 0:
+                new_min[p] = np.minimum(new_min[p], new_min[i])
+                new_max[p] = np.maximum(new_max[p], new_max[i])
+        self.nodes_min = new_min.astype(np.float32)
+        self.nodes_max = new_max.astype(np.float32)
+        return self
+
+
+def _sah_split(lo, hi, centroids, idx):
+    """Binned SAH split of the triangle subset `idx`.
+
+    ALWAYS returns (left_idx, right_idx): the traversal's leaf loop is a
+    static `range(leaf_size)`, so leaves may never exceed leaf_size — when
+    no SAH split is usable we median-split instead of keeping a fat leaf.
+    """
+    c = centroids[idx]
+    cmin = c.min(axis=0)
+    cmax = c.max(axis=0)
+    extent = cmax - cmin
+    axis = int(np.argmax(extent))
+    if extent[axis] <= 1e-12:
+        # All centroids coincide: arbitrary halves.
+        half = len(idx) // 2
+        return idx[:half], idx[half:]
+
+    # Bin triangles by centroid along the chosen axis.
+    scale = _SAH_BINS * (1.0 - 1e-6) / extent[axis]
+    bins = ((c[:, axis] - cmin[axis]) * scale).astype(np.int32)
+    bins = np.clip(bins, 0, _SAH_BINS - 1)
+
+    counts = np.bincount(bins, minlength=_SAH_BINS)
+    bin_min = np.full((_SAH_BINS, 3), np.inf, np.float32)
+    bin_max = np.full((_SAH_BINS, 3), -np.inf, np.float32)
+    for b in range(_SAH_BINS):
+        sel = bins == b
+        if counts[b]:
+            bin_min[b] = lo[idx[sel]].min(axis=0)
+            bin_max[b] = hi[idx[sel]].max(axis=0)
+
+    def area(mn, mx):
+        d = np.maximum(mx - mn, 0.0)
+        return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+                      + d[..., 2] * d[..., 0])
+
+    # Prefix/suffix sweeps.
+    lmin = np.minimum.accumulate(bin_min, axis=0)
+    lmax = np.maximum.accumulate(bin_max, axis=0)
+    rmin = np.minimum.accumulate(bin_min[::-1], axis=0)[::-1]
+    rmax = np.maximum.accumulate(bin_max[::-1], axis=0)[::-1]
+    lcount = np.cumsum(counts)
+    rcount = np.cumsum(counts[::-1])[::-1]
+
+    # Split after bin k: left = bins[0..k], right = bins[k+1..].
+    costs = np.full(_SAH_BINS - 1, np.inf)
+    for k in range(_SAH_BINS - 1):
+        nl, nr = lcount[k], rcount[k + 1]
+        if nl == 0 or nr == 0:
+            continue
+        costs[k] = area(lmin[k], lmax[k]) * nl + area(rmin[k + 1], rmax[k + 1]) * nr
+
+    k = int(np.argmin(costs))
+    if not np.isfinite(costs[k]):
+        # Fall back to a median split on the axis.
+        order = np.argsort(c[:, axis], kind="stable")
+        half = len(idx) // 2
+        return idx[order[:half]], idx[order[half:]]
+
+    left_sel = bins <= k
+    return idx[left_sel], idx[~left_sel]
+
+
+def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+              leaf_size: int = 8) -> BVH:
+    """Binned-SAH BVH over triangles given as (v0, edge1, edge2).
+
+    Prefers the native C++ builder (native/bvh_builder.cpp) when its shared
+    library has been built; falls back to the numpy implementation below.
+    Triangles are reordered so each leaf owns a contiguous [first, count)
+    range; apply `tri_order` to all per-triangle arrays after building.
+    """
+    from raytracer_tpu.accel import native_builder
+
+    if native_builder.available():
+        return native_builder.build_bvh_native(v0, e1, e2, leaf_size)
+    return build_bvh_numpy(v0, e1, e2, leaf_size)
+
+
+def build_bvh_numpy(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+                    leaf_size: int = 8) -> BVH:
+    t = len(v0)
+    assert t > 0, "cannot build a BVH over zero triangles"
+    v1 = v0 + e1
+    v2 = v0 + e2
+    lo = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
+    hi = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
+    centroids = ((lo + hi) * 0.5).astype(np.float32)
+
+    # Recursive top-down build using an explicit stack; children are emitted
+    # in preorder so hit-links are implicit (node+1).
+    nodes = []  # [min, max, first, count, parent] with count<0 marking internal
+    order = []
+
+    stack = [(np.arange(t, dtype=np.int64), -1)]
+    while stack:
+        idx, parent_slot = stack.pop()
+        node_id = len(nodes)
+        nmin = lo[idx].min(axis=0)
+        nmax = hi[idx].max(axis=0)
+
+        if len(idx) <= leaf_size:
+            first = len(order)
+            order.extend(idx.tolist())
+            nodes.append([nmin, nmax, first, len(idx), parent_slot])
+        else:
+            left, right = _sah_split(lo, hi, centroids, idx)
+            nodes.append([nmin, nmax, 0, -1, parent_slot])
+            # Preorder: left child next -> push right first.
+            stack.append((right, node_id))
+            stack.append((left, node_id))
+
+    nn = len(nodes)
+    nodes_min = np.stack([n[0] for n in nodes]).astype(np.float32)
+    nodes_max = np.stack([n[1] for n in nodes]).astype(np.float32)
+    nodes_first = np.asarray([n[2] for n in nodes], np.int32)
+    counts = np.asarray([n[3] for n in nodes], np.int32)
+    parent = np.asarray([n[4] for n in nodes], np.int32)
+    nodes_count = np.where(counts < 0, 0, counts).astype(np.int32)
+
+    nodes_skip = _compute_skip_links(parent, counts, nn)
+
+    return BVH(
+        nodes_min=nodes_min,
+        nodes_max=nodes_max,
+        nodes_skip=nodes_skip,
+        nodes_first=nodes_first,
+        nodes_count=nodes_count,
+        tri_order=np.asarray(order, np.int32),
+        parent=parent,
+    )
+
+
+def _compute_skip_links(parent: np.ndarray, counts: np.ndarray, nn: int) -> np.ndarray:
+    """skip[i] = next node in preorder after i's subtree (nn = done).
+
+    In preorder layout a node's subtree is the contiguous index range
+    [i, end_i), so the skip target is simply end_i.
+    """
+    del counts
+    # In preorder layout a node's subtree occupies the contiguous index range
+    # [i, end_i), so the skip target is simply end_i (== nn means done).
+    # Subtree ends come from a reverse scan propagating child ends up to
+    # parents (parents always precede children in preorder).
+    end = np.arange(1, nn + 1, dtype=np.int32)  # a leaf's subtree ends at i+1
+    for i in range(nn - 1, 0, -1):
+        p = parent[i]
+        if p >= 0 and end[i] > end[p]:
+            end[p] = end[i]
+    return end

@@ -1,0 +1,162 @@
+"""Public API: one-shot `render()` and the interactive ProgressiveRenderer.
+
+ProgressiveRenderer is the analog of Raytracing_Renderer
+(`src/raytracer/raytracing_renderer.odin`):
+  - owns the baked device scene, camera, accumulation buffer and frame
+    counter (raytracing_renderer.odin:22-23,56-61)
+  - `begin_frame()` replays the scene change journal into device updates and
+    resets accumulation (raytracing_renderer.odin:128-188); a dirty camera
+    also resets accumulation (:196-199)
+  - `step()` runs one progressive sample unless the accumulation limit is
+    reached (:204-205,347-350)
+  - checkpoint/resume: the accumulation buffer + frame counter IS the render
+    state; save/load make long renders resumable (the reference has no
+    checkpointing — SURVEY.md §5 — this is the TPU-build upgrade).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.integrator.wavefront import render_frame
+from raytracer_tpu.ops.camera import Camera
+from raytracer_tpu.scene.device_scene import (
+    SceneOnDevice,
+    bake_scene,
+    update_materials,
+)
+from raytracer_tpu.scene.model import Scene, SceneChangeType
+from raytracer_tpu.utils.config import RenderConfig
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def _render_frame_jit(scene, camera_ubo, accum, frame_number, cfg):
+    return render_frame(scene, camera_ubo, accum, frame_number, cfg)
+
+
+class ProgressiveRenderer:
+    def __init__(self, scene: Scene, camera: Optional[Camera] = None,
+                 config: Optional[RenderConfig] = None):
+        self.scene = scene
+        self.config = config or RenderConfig()
+        self.camera = camera or Camera.create(
+            position=(0.0, 0.0, -3.0),
+            aspect=self.config.width / self.config.height,
+        )
+        self.device_scene: SceneOnDevice = bake_scene(
+            scene, leaf_size=self.config.bvh_leaf_size
+        )[0]
+        # The bake consumed the scene's current state: construction-time
+        # journal entries are already reflected and must not trigger a
+        # replay/reset on the first begin_frame.
+        scene.drain_changes()
+        self.accum = jnp.zeros((self.config.num_pixels, 3), jnp.float32)
+        self.frame = 0
+        self._camera_ubo_dev = None
+
+    # -- scene/camera plumbing ------------------------------------------
+    def set_camera(self, camera: Camera):
+        self.camera = camera
+        self.camera.dirty = True
+
+    def _replay_changes(self):
+        """raytracing_renderer.odin:141-187: drain the journal, map each
+        change to the cheapest device update, reset accumulation."""
+        changes = self.scene.drain_changes()
+        if not changes:
+            return False
+        if all(
+            c.type == SceneChangeType.MATERIAL_CHANGED for c in changes
+        ):
+            self.device_scene = update_materials(self.device_scene, self.scene)
+        else:
+            # Geometry/topology changed: full re-bake (the reference's
+            # add/remove path also recompiles, gpu_scene.odin:430-455).
+            self.device_scene = bake_scene(
+                self.scene, leaf_size=self.config.bvh_leaf_size
+            )[0]
+        return True
+
+    def begin_frame(self):
+        scene_changed = self._replay_changes()
+        if scene_changed or self.camera.dirty:
+            self.reset_accumulation()
+        if self.camera.dirty or self._camera_ubo_dev is None:
+            mats = self.camera.matrices()
+            self._camera_ubo_dev = {
+                "inverse_view": jnp.asarray(mats["inverse_view"]),
+                "inverse_proj": jnp.asarray(mats["inverse_proj"]),
+            }
+            self.camera.clear_dirty()
+
+    def reset_accumulation(self):
+        self.accum = jnp.zeros((self.config.num_pixels, 3), jnp.float32)
+        self.frame = 0
+
+    # -- the hot loop ---------------------------------------------------
+    def step(self) -> bool:
+        """One progressive sample. Returns False when the accumulation limit
+        has been reached (frame skipped, like raytracing_renderer.odin:204)."""
+        self.begin_frame()
+        limit = self.config.accumulation_limit
+        if limit is not None and self.frame >= limit:
+            return False
+        self.accum = _render_frame_jit(
+            self.device_scene,
+            self._camera_ubo_dev,
+            self.accum,
+            jnp.uint32(self.frame),
+            self.config,
+        )
+        self.frame += 1
+        return True
+
+    def render(self, num_frames: int) -> np.ndarray:
+        for _ in range(num_frames):
+            if not self.step():
+                break
+        return self.image()
+
+    def image(self) -> np.ndarray:
+        """Accumulated linear radiance f32[H,W,3] on host (the reference's
+        blit-to-swapchain becomes a device->host transfer)."""
+        return np.asarray(self.accum).reshape(
+            self.config.height, self.config.width, 3
+        )
+
+    # -- checkpoint / resume ---------------------------------------------
+    def save_checkpoint(self, path: str):
+        np.savez_compressed(
+            path, accum=np.asarray(self.accum), frame=self.frame,
+            width=self.config.width, height=self.config.height,
+        )
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        assert int(data["width"]) == self.config.width
+        assert int(data["height"]) == self.config.height
+        self.accum = jnp.asarray(data["accum"])
+        self.frame = int(data["frame"])
+        # Materialize the camera UBO now and clear the dirty flag so the
+        # next begin_frame() doesn't wipe the restored accumulation (the
+        # caller asserts the camera/scene match the checkpointed render).
+        mats = self.camera.matrices()
+        self._camera_ubo_dev = {
+            "inverse_view": jnp.asarray(mats["inverse_view"]),
+            "inverse_proj": jnp.asarray(mats["inverse_proj"]),
+        }
+        self.camera.clear_dirty()
+
+
+def render(scene: Scene, camera: Optional[Camera] = None,
+           config: Optional[RenderConfig] = None,
+           num_frames: int = 1) -> np.ndarray:
+    """One-shot render: `num_frames` progressive samples, returns
+    f32[H,W,3] linear radiance."""
+    r = ProgressiveRenderer(scene, camera, config)
+    return r.render(num_frames)

@@ -1,0 +1,101 @@
+"""Command-line renderer — the headless analog of `src/main.odin`.
+
+Usage:
+  python -m raytracer_tpu.cli <scene_file> [--width W] [--height H]
+      [--spp N] [--out image.png] [--camera X Y Z] [--target X Y Z] ...
+
+The reference CLI is `pathtracer <scene_file> [-f|--fullscreen]`
+(src/main.odin:28-46) with a live window; headless rendering replaces the
+swapchain with a PNG dump and `--spp` replaces "wait for accumulation".
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+from raytracer_tpu.api import ProgressiveRenderer
+from raytracer_tpu.ops.camera import Camera
+from raytracer_tpu.scene.loaders import load_scene
+from raytracer_tpu.utils.config import RenderConfig
+from raytracer_tpu.utils.image import write_png
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("scene", help="scene file (.json, .gltf, .glb)")
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=1020)
+    p.add_argument("--spp", type=int, default=64,
+                   help="progressive frames to accumulate")
+    p.add_argument("--out", default="render.png")
+    p.add_argument("--camera", type=float, nargs=3, default=(0.0, 0.0, -3.0),
+                   metavar=("X", "Y", "Z"))
+    p.add_argument("--target", type=float, nargs=3, default=(0.0, 0.0, 0.0),
+                   metavar=("X", "Y", "Z"))
+    p.add_argument("--max-depth", type=int, default=3)
+    p.add_argument("--background", type=float, nargs=3,
+                   default=(0.53, 0.81, 0.92))
+    p.add_argument("--accel", choices=("bvh", "brute"), default="bvh")
+    p.add_argument("--no-transmission", action="store_true")
+    p.add_argument("--restir", action="store_true",
+                   help="use ReSTIR DI for direct lighting")
+    p.add_argument("--checkpoint", default=None,
+                   help="save/resume accumulation state at this .npz path")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    log = logging.getLogger("raytracer_tpu.cli")
+
+    scene = load_scene(args.scene)
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        max_depth=args.max_depth,
+        background=tuple(args.background),
+        accel=args.accel,
+        enable_transmission=not args.no_transmission,
+        use_restir=args.restir,
+    )
+    camera = Camera.create(
+        position=tuple(args.camera),
+        aspect=cfg.width / cfg.height,
+        target=tuple(args.target),
+    )
+    renderer = ProgressiveRenderer(scene, camera, cfg)
+    if args.checkpoint:
+        import os
+
+        if os.path.exists(args.checkpoint):
+            renderer.load_checkpoint(args.checkpoint)
+            log.info("resumed at frame %d", renderer.frame)
+
+    start = time.perf_counter()
+    for i in range(renderer.frame, args.spp):
+        renderer.step()
+        if args.verbose or (i + 1) % 16 == 0 or i == 0:
+            elapsed = time.perf_counter() - start
+            log.info("frame %d/%d (%.2f s)", i + 1, args.spp, elapsed)
+    elapsed = time.perf_counter() - start
+
+    write_png(args.out, renderer.image())
+    log.info(
+        "wrote %s: %d spp in %.2f s (%.2f spp/s, %d triangles)",
+        args.out, renderer.frame, elapsed,
+        renderer.frame / max(elapsed, 1e-9), scene.num_triangles,
+    )
+    if args.checkpoint:
+        renderer.save_checkpoint(args.checkpoint)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,598 @@
+"""The wavefront path-tracing integrator — rgen/rchit/rmiss as one jitted fn.
+
+TPU-first restructuring of the reference's RT pipeline:
+
+  simple.rgen (per-pixel recursion driver)  ->  SoA wavefront [N = W*H] with
+                                                an alive mask, bounce loop as
+                                                a fori_loop under one jit
+  traceRayEXT hardware traversal            ->  ops/traverse.intersect_bvh
+  simple.rchit (surface shading + NEE/MIS)  ->  _shade(): masked lockstep
+                                                port of every branch
+  rayQueryEXT shadow rays                   ->  ops/traverse.occlusion_bvh
+  simple.rmiss                              ->  miss-mask branch
+  rgba32f accumulation image                ->  accum f32[N,3] carried state
+
+Faithfulness notes (constants all from shaders/simple.rgen + simple.rchit):
+  - Two RNG streams per pixel, as in the reference: the rgen-local seed
+    (jitter + russian roulette) and payload.seed (all shading draws) split
+    after the jitter draws (simple.rgen:71-79). Masked draws keep each
+    lane's stream identical to the reference's serial consumption order.
+  - Russian roulette only from depth >= 3, luminance-driven p in [.05,.95]
+    (simple.rgen:55-68) — dead code at MAX_DEPTH=3, live at depth 8+.
+  - The reference's quirk of adding the background when a *hit* surface
+    fails to produce a BSDF sample (rchit sets payload.hit=false at
+    simple.rchit:701-703, and rgen then runs its miss branch at
+    simple.rgen:106-109) is reproduced bit-for-bit.
+  - Emissive-hit MIS uses the *previous* bounce's p_sample_light /
+    didDirectIllumination / brdf pdf (payload fields are only overwritten
+    after the emissive block — simple.rchit:641-691).
+  - Radiance clamp 5.0 + NaN scrub, then running-mean accumulation
+    (simple.rgen:121-136).
+
+Extension beyond the reference (BASELINE config 3): dielectric transmission/
+refraction driven by Material.transmission/ior, fields the reference declares
+but never reads (ray_common.glsl:9-10). Scenes with transmission == 0
+everywhere take the exact reference path (no extra RNG draws: the dielectric
+branch replaces, not precedes, the standard lottery draw for such lanes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.ops import brdf, rng
+from raytracer_tpu.ops.intersect import intersect_brute, occlusion_brute
+from raytracer_tpu.ops.math3d import (
+    cos_theta,
+    cross,
+    dot,
+    dot_k,
+    length,
+    local_to_world,
+    luminance_rec709,
+    make_basis,
+    mis_weight_power,
+    normalize,
+    world_to_local,
+)
+from raytracer_tpu.ops.traverse import intersect_bvh, occlusion_bvh
+from raytracer_tpu.utils.config import RenderConfig
+
+
+class WavefrontState(NamedTuple):
+    """The RayPayload SoA (ray_common.glsl:13-26) + the rgen-local loop
+    state, one lane per pixel."""
+
+    origin: jnp.ndarray  # f32[N,3]
+    direction: jnp.ndarray  # f32[N,3]
+    color: jnp.ndarray  # f32[N,3]
+    throughput: jnp.ndarray  # f32[N,3]
+    seed_rgen: jnp.ndarray  # u32[N] rgen-local stream (jitter/RR)
+    seed: jnp.ndarray  # u32[N] payload.seed stream (shading)
+    alive: jnp.ndarray  # bool[N]
+    first_bounce: jnp.ndarray  # bool[N]
+    is_specular: jnp.ndarray  # bool[N]
+    prev_brdf_pdf: jnp.ndarray  # f32[N]
+    prev_hit_pos: jnp.ndarray  # f32[N,3]
+    p_sample_light: jnp.ndarray  # f32[N]
+    did_direct: jnp.ndarray  # bool[N]
+
+
+def _camera_rays(inverse_view, inverse_proj, width, height, jitter,
+                 pixel_idx):
+    """calculateCameraRay (simple.rgen:41-53) for the given pixels.
+
+    jitter: f32[N,2] subpixel offset (already includes the 0.5 center);
+    pixel_idx: u32[N] global raster-order pixel indices."""
+    idx = pixel_idx.astype(jnp.int32)
+    px = (idx % width).astype(jnp.float32)
+    py = (idx // width).astype(jnp.float32)
+    n = idx.shape[0]
+    pixel_center = jnp.stack([px, py], axis=-1) + jitter
+    in_uv = pixel_center / jnp.asarray([width, height], jnp.float32)
+    d = in_uv * 2.0 - 1.0
+
+    origin = jnp.broadcast_to(inverse_view[:3, 3], (n, 3))
+    target_h = (
+        inverse_proj[:3, 0] * d[:, 0:1]
+        + inverse_proj[:3, 1] * d[:, 1:2]
+        + inverse_proj[:3, 2]
+        + inverse_proj[:3, 3]
+    )
+    t = normalize(target_h)
+    direction = t @ inverse_view[:3, :3].T
+    return origin, normalize(direction)
+
+
+def _trace(scene, origin, direction, cfg: RenderConfig, active):
+    if cfg.accel == "brute":
+        rec = intersect_brute(
+            origin, direction, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+            cfg.t_min, cfg.t_max,
+        )
+        return rec._replace(
+            hit=rec.hit & active, tri=jnp.where(active, rec.tri, -1)
+        )
+    return intersect_bvh(
+        origin, direction, scene, cfg.t_min, cfg.t_max,
+        leaf_size=cfg.bvh_leaf_size, active_mask=active,
+    )
+
+
+def _occluded(scene, origin, direction, t_max, skip_object, cfg, active):
+    if cfg.accel == "brute":
+        occ = occlusion_brute(
+            origin, direction, cfg.t_min, t_max,
+            scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_object,
+            skip_object,
+        )
+        return occ & active
+    return occlusion_bvh(
+        origin, direction, cfg.t_min, t_max, scene, skip_object,
+        leaf_size=cfg.bvh_leaf_size, active_mask=active,
+    )
+
+
+def _light_weights(scene, hit_pos, skip_object, cfg: RenderConfig):
+    """Power/distance² light weights over the first min(L, MAXLIGHTS) lights
+    (computeLightWeight/computeTotalLightWeight, simple.rchit:507-534).
+    Returns ([N,Lc] weights with `skip_object` zeroed, [N] total)."""
+    l_used = min(scene.num_lights, cfg.max_lights)
+    centers = scene.light_center[:l_used]  # [Lc,3]
+    powers = scene.light_power[:l_used]
+    light_objs = scene.light_object[:l_used]
+
+    diff = hit_pos[:, None, :] - centers[None, :, :]  # [N,Lc,3]
+    dist_sq = jnp.sum(diff * diff, axis=-1)
+    w = powers[None, :] / jnp.maximum(dist_sq, 0.001)
+    w = jnp.where(light_objs[None, :] == skip_object[:, None], 0.0, w)
+    return w, jnp.sum(w, axis=-1)
+
+
+def _sample_light(scene, sel, hit_pos, seed, active, cfg: RenderConfig):
+    """sampleLight (simple.rchit:239-322): pick a uniform triangle of light
+    `sel` (i32[N]), area-sample it with sqrt-barycentrics, return the sample
+    and the solid-angle pdf. Consumes 3 masked draws."""
+    l_used = min(scene.num_lights, cfg.max_lights)
+    sel_c = jnp.clip(sel, 0, l_used - 1)
+    first = scene.light_first_tri[sel_c]
+    num_tris = scene.light_num_tris[sel_c]
+
+    r_tri, seed = rng.rnd_masked(seed, active)
+    tri_local = jnp.minimum(
+        (r_tri * num_tris.astype(jnp.float32)).astype(jnp.int32),
+        num_tris - 1,
+    )
+    ti = jnp.clip(first + tri_local, 0, scene.light_tri_v0.shape[0] - 1)
+    v0 = scene.light_tri_v0[ti]
+    e1 = scene.light_tri_e1[ti]
+    e2 = scene.light_tri_e2[ti]
+
+    r1, seed = rng.rnd_masked(seed, active)
+    r2, seed = rng.rnd_masked(seed, active)
+    sqrt_r1 = jnp.sqrt(r1)
+    bu = 1.0 - sqrt_r1
+    bv = sqrt_r1 * (1.0 - r2)
+    bw = sqrt_r1 * r2
+    pos = bu[:, None] * v0 + bv[:, None] * (v0 + e1) + bw[:, None] * (v0 + e2)
+
+    face_n = cross(e1, e2)
+    normal = normalize(face_n)
+    to_surface = normalize(hit_pos - pos)
+    cos_l = dot(normal, to_surface)
+    normal = jnp.where((cos_l < 0.0)[:, None], -normal, normal)
+    cos_l = jnp.abs(cos_l)
+
+    to_light = pos - hit_pos
+    dist = jnp.maximum(length(to_light), 0.01)
+    direction = to_light / dist[:, None]
+    area = 0.5 * length(face_n)
+    cos_theta_l = jnp.maximum(0.0, dot(-direction, normal))
+
+    valid = (cos_l > 0.0) & (cos_theta_l > 1e-6) & (num_tris > 0)
+    pdf = (
+        (1.0 / jnp.maximum(num_tris.astype(jnp.float32), 1.0))
+        * (1.0 / jnp.maximum(area, 1e-20))
+        * dist * dist / jnp.maximum(cos_theta_l, 1e-20)
+    )
+    emission = scene.light_emission[sel_c]
+    return pos, normal, direction, dist, pdf, emission, valid, seed
+
+
+def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig):
+    """The simple.rchit port. `hit` is the traversal HitRecord; lanes where
+    `state.alive & hit.hit` run shading, everything else is masked out.
+
+    Returns (new_state, payload_hit bool[N])."""
+    lane = state.alive & hit.hit
+    n = state.origin.shape[0]
+    t_count = scene.tri_v0.shape[0]
+    ti = jnp.clip(hit.tri, 0, t_count - 1)
+
+    # --- hit fetch + interpolation (simple.rchit:590-614) ---
+    v0 = scene.tri_v0[ti]
+    e1 = scene.tri_e1[ti]
+    e2 = scene.tri_e2[ti]
+    bary_u = hit.u[:, None]
+    bary_v = hit.v[:, None]
+    world_pos = v0 + bary_u * e1 + bary_v * e2
+    bw = 1.0 - bary_u - bary_v
+    n_interp = (
+        bw * scene.tri_n0[ti] + bary_u * scene.tri_n1[ti]
+        + bary_v * scene.tri_n2[ti]
+    )
+    world_nrm = normalize(n_interp)
+    ray_dir = state.direction
+    front_facing = dot(world_nrm, -ray_dir) > 0.0
+    world_nrm = jnp.where(front_facing[:, None], world_nrm, -world_nrm)
+
+    obj = jnp.where(lane, scene.tri_object[ti], 0)
+    mat = jnp.where(lane, scene.tri_material[ti], 0)
+    albedo = scene.mat_albedo[mat]
+    roughness = scene.mat_roughness[mat]
+    metallic = scene.mat_metallic[mat]
+    emission_color = scene.mat_emission_color[mat]
+    emission_power = scene.mat_emission_power[mat]
+    transmission = scene.mat_transmission[mat]
+    ior = scene.mat_ior[mat]
+    is_emissive = emission_power > 0.0
+
+    color = state.color
+    throughput = state.throughput
+    seed = state.seed
+
+    basis = make_basis(world_nrm)
+    wo_local = world_to_local(-ray_dir, basis)
+
+    # --- dielectric lanes (extension; see module docstring) ---
+    if cfg.enable_transmission:
+        dielectric = lane & (transmission > 0.0)
+    else:
+        dielectric = jnp.zeros(n, bool)
+    surface_lane = lane & ~dielectric
+
+    # --- NEE with MIS (simple.rchit:618-632) ---
+    did_direct = jnp.zeros(n, bool)
+    p_sample_light = jnp.clip(roughness, 0.1, 0.9)
+    if cfg.use_direct_lighting and cfg.use_mis and scene.num_lights > 0:
+        p_draw, seed = rng.rnd_masked(seed, surface_lane)
+        do_nee = surface_lane & (p_draw < p_sample_light)
+
+        weights, total_w = _light_weights(scene, world_pos, obj, cfg)
+        has_weight = total_w > 0.0
+        m_sel = do_nee & has_weight
+        r_sel, seed = rng.rnd_masked(seed, m_sel)
+        r1 = r_sel * total_w
+        cs = jnp.cumsum(weights, axis=1)
+        found = jnp.any(cs >= r1[:, None], axis=1)
+        selected = jnp.argmax(cs >= r1[:, None], axis=1).astype(jnp.int32)
+        m_samp = m_sel & found
+
+        l_used = min(scene.num_lights, cfg.max_lights)
+        sel_c = jnp.clip(selected, 0, l_used - 1)
+        sel_w = jnp.take_along_axis(weights, sel_c[:, None], axis=1)[:, 0]
+        light_sel_pdf = sel_w / jnp.maximum(total_w, 1e-20)
+
+        (l_pos, _l_nrm, l_dir, _l_dist, l_pdf, l_emission, l_valid, seed
+         ) = _sample_light(scene, selected, world_pos, seed, m_samp, cfg)
+
+        wi_local = world_to_local(l_dir, basis)
+        consider = m_samp & l_valid & (cos_theta(wi_local) > 1e-4)
+
+        # Shadow ray (isVisibleRQ, simple.rchit:350-385).
+        eps = 0.001
+        to_light_n = normalize(l_pos - world_pos)
+        offset_from = world_pos + world_nrm * (
+            eps * jnp.sign(dot_k(world_nrm, to_light_n))
+        )
+        sr = l_pos - offset_from
+        sr_dist = length(sr)
+        sr_dir = sr / jnp.maximum(sr_dist, 1e-20)[:, None]
+        light_obj = scene.light_object[sel_c]
+        occ = _occluded(
+            scene, offset_from, sr_dir, sr_dist * 0.999, light_obj, cfg,
+            consider & (sr_dist > 0.0),
+        )
+        visible = consider & (sr_dist > 0.0) & ~occ
+
+        brdf_val = brdf.evaluate_full(wo_local, wi_local, albedo, roughness,
+                                      metallic)
+        light_pdf = l_pdf * light_sel_pdf
+        p_spec = brdf.specular_probability(albedo, roughness, metallic)
+        h_local = normalize(wo_local + wi_local)
+        spec_pdf = brdf.microfacet_pdf(wo_local, h_local, roughness)
+        diff_pdf = cos_theta(wi_local) / brdf.M_PI
+        brdf_pdf = p_spec * spec_pdf + (1.0 - p_spec) * diff_pdf
+        weight = mis_weight_power(light_pdf, brdf_pdf)
+
+        radiance = (
+            brdf_val * l_emission
+            * (cos_theta(wi_local) * weight
+               / jnp.maximum(light_pdf, 1e-6))[:, None]
+        )
+        contrib = throughput * radiance / p_sample_light[:, None]
+        color = jnp.where(visible[:, None], color + contrib, color)
+        did_direct = do_nee
+        shadow_rays = jnp.sum((consider & (sr_dist > 0.0)).astype(jnp.int32))
+    elif cfg.use_direct_lighting and cfg.use_mis:
+        # No lights: the NEE lottery draw still happens (simple.rchit:622).
+        _, seed = rng.rnd_masked(seed, surface_lane)
+        shadow_rays = jnp.int32(0)
+    else:
+        shadow_rays = jnp.int32(0)
+
+    # --- BSDF sampling (simple.rchit:634-639 -> sampleBRDF) ---
+    sample, seed_after_brdf = brdf.sample_brdf(
+        wo_local, albedo, roughness, metallic, seed
+    )
+    # Only surface lanes consume the 3 draws; dielectric lanes consume their
+    # own draws below.
+    seed_surface = jnp.where(surface_lane, seed_after_brdf, seed)
+
+    # --- emissive-hit handling (simple.rchit:641-686) ---
+    if cfg.use_direct_lighting and cfg.use_mis:
+        add_full = surface_lane & is_emissive & (
+            state.first_bounce | state.is_specular
+        )
+        color = jnp.where(
+            add_full[:, None],
+            color + throughput * emission_color * emission_power[:, None],
+            color,
+        )
+        if scene.num_lights > 0:
+            light_idx = scene.obj_light_index[obj]
+            add_mis = (
+                surface_lane & is_emissive
+                & ~(state.first_bounce | state.is_specular)
+                & ~state.did_direct & (light_idx >= 0)
+            )
+            li_c = jnp.clip(light_idx, 0, scene.num_lights - 1)
+            d = length(world_pos - state.prev_hit_pos)
+            cos_light = jnp.maximum(0.0, dot(world_nrm, -ray_dir))
+            tri_area = 0.5 * length(cross(e1, e2))
+            num_tris_l = scene.light_num_tris[li_c].astype(jnp.float32)
+            pdf_geo = (
+                (1.0 / jnp.maximum(num_tris_l, 1.0))
+                * (1.0 / jnp.maximum(tri_area, 1e-20))
+                * d * d / jnp.maximum(cos_light, 1e-20)
+            )
+            # computeLightSelectionPdf uses the un-skipped total
+            # (simple.rchit:536-541).
+            w_all, _ = _light_weights(
+                scene, world_pos, jnp.full((n,), -1, jnp.int32), cfg
+            )
+            total_all = jnp.sum(w_all, axis=-1)
+            l_used = min(scene.num_lights, cfg.max_lights)
+            li_cap = jnp.clip(light_idx, 0, l_used - 1)
+            w_this = jnp.take_along_axis(w_all, li_cap[:, None], axis=1)[:, 0]
+            light_sel = jnp.where(
+                total_all > 0.0, w_this / jnp.maximum(total_all, 1e-20), 0.0
+            )
+            light_pdf_hit = light_sel * pdf_geo
+            mis_w = mis_weight_power(state.prev_brdf_pdf, light_pdf_hit)
+            contrib = (
+                throughput * emission_color
+                * (emission_power * mis_w
+                   / jnp.maximum(1.0 - state.p_sample_light, 1e-20))[:, None]
+            )
+            color = jnp.where(add_mis[:, None], color + contrib, color)
+    else:
+        add_full = surface_lane & is_emissive
+        if cfg.use_direct_lighting:  # USE_MIS=0 branch (simple.rchit:679-681)
+            add_full = add_full & (state.first_bounce | state.is_specular)
+        color = jnp.where(
+            add_full[:, None],
+            color + throughput * emission_color * emission_power[:, None],
+            color,
+        )
+
+    # --- bounce update (simple.rchit:693-703) ---
+    sample_ok = (sample.pdf > 0.0) & (cos_theta(sample.direction) > 0.0)
+    new_dir_surface = local_to_world(sample.direction, basis)
+    tp_scale = (cos_theta(sample.direction) / sample.pdf)[:, None] * sample.value
+
+    # --- dielectric transmission lanes (extension) ---
+    if cfg.enable_transmission:
+        (diel_dir, diel_tp, diel_ok, seed_diel) = _sample_dielectric(
+            ray_dir, world_nrm, front_facing, albedo, ior, transmission, seed,
+            dielectric,
+        )
+        seed = jnp.where(dielectric, seed_diel, seed_surface)
+        new_dir = jnp.where(dielectric[:, None], diel_dir, new_dir_surface)
+        tp_mult = jnp.where(dielectric[:, None], diel_tp, tp_scale)
+        sample_ok = jnp.where(dielectric, diel_ok, sample_ok)
+        new_specular = jnp.where(dielectric, True, sample.is_specular)
+        new_pdf = jnp.where(dielectric, 1.0, sample.pdf)
+    else:
+        seed = seed_surface
+        new_dir = new_dir_surface
+        tp_mult = tp_scale
+        new_specular = sample.is_specular
+        new_pdf = sample.pdf
+
+    upd = lane & sample_ok
+    throughput = jnp.where(upd[:, None], throughput * tp_mult, throughput)
+
+    new_state = WavefrontState(
+        origin=jnp.where(upd[:, None], world_pos, state.origin),
+        direction=jnp.where(upd[:, None], new_dir, state.direction),
+        color=jnp.where(lane[:, None], color, state.color),
+        throughput=throughput,
+        seed_rgen=state.seed_rgen,
+        seed=jnp.where(lane, seed, state.seed),
+        alive=state.alive,
+        first_bounce=jnp.where(lane, False, state.first_bounce),
+        is_specular=jnp.where(upd, new_specular, state.is_specular),
+        prev_brdf_pdf=jnp.where(upd, new_pdf, state.prev_brdf_pdf),
+        prev_hit_pos=jnp.where(upd[:, None], world_pos, state.prev_hit_pos),
+        p_sample_light=jnp.where(lane, p_sample_light, state.p_sample_light),
+        did_direct=jnp.where(lane, did_direct, state.did_direct),
+    )
+    payload_hit = lane & sample_ok
+    return new_state, payload_hit, shadow_rays
+
+
+def _sample_dielectric(ray_dir, normal, front_facing, albedo, ior,
+                       transmission, seed, active):
+    """Smooth dielectric BSDF (reflection/refraction), extension lanes only.
+
+    Consumes 2 masked draws (transmit lottery + Fresnel lottery). Delta
+    lobes: throughput multiplier already includes value*cos/pdf."""
+    r_lottery, seed = rng.rnd_masked(seed, active)
+    r_fresnel, seed = rng.rnd_masked(seed, active)
+
+    eta = jnp.where(front_facing, 1.0 / ior, ior)
+    cos_i = jnp.clip(dot(-ray_dir, normal), 0.0, 1.0)
+    sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+
+    f0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+    fresnel = f0 + (1.0 - f0) * jnp.power(1.0 - cos_i, 5.0)
+    fresnel = jnp.where(tir, 1.0, fresnel)
+
+    refl_dir = normalize(ray_dir + 2.0 * cos_i[:, None] * normal)
+    refr_dir = normalize(
+        eta[:, None] * ray_dir + (eta * cos_i - cos_t)[:, None] * normal
+    )
+
+    take_transmit = r_lottery < transmission
+    reflect_lobe = ~take_transmit | (r_fresnel < fresnel)
+    new_dir = jnp.where(reflect_lobe[:, None], refl_dir, refr_dir)
+    # Reflection off the dielectric is untinted; transmission is tinted by
+    # albedo (absorption proxy). Delta lobes with lottery-matched pdfs cancel.
+    tp = jnp.where(
+        reflect_lobe[:, None],
+        jnp.ones_like(albedo),
+        albedo,
+    )
+    ok = jnp.ones_like(take_transmit)
+    return new_dir, tp, ok, seed
+
+
+def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
+                     pixel_start=0, num_pixels=None, with_stats: bool = False):
+    """One progressive sample for a contiguous pixel range: returns radiance
+    f32[N,3] (and a stats dict when with_stats=True).
+
+    This is the body of simple.rgen:70-125 (everything but accumulation).
+    `pixel_start`/`num_pixels` carve out a tile for multi-chip sharding
+    (parallel/sharding.py): seeds and camera rays use GLOBAL pixel indices so
+    a sharded render is bit-identical to a single-chip one."""
+    n = cfg.num_pixels if num_pixels is None else num_pixels
+    pixel_idx = (
+        jnp.asarray(pixel_start, jnp.uint32) + jnp.arange(n, dtype=jnp.uint32)
+    )
+    frame_u32 = jnp.asarray(frame_number, jnp.uint32)
+    seed0 = rng.seed_pixels(pixel_idx, frame_u32)
+
+    # Jitter (getSampleOffset, simple.rgen:25-38): center on frame 0, else
+    # 0.4-amplitude. Two masked draws keep stream alignment.
+    jitter_on = frame_u32 > 0
+    jitter_mask = jnp.broadcast_to(jitter_on, (n,))
+    r1, seed_rgen = rng.rnd_masked(seed0, jitter_mask)
+    r2, seed_rgen = rng.rnd_masked(seed_rgen, jitter_mask)
+    jitter = jnp.where(
+        jitter_on,
+        0.5 + (jnp.stack([r1, r2], axis=-1) - 0.5) * 0.4,
+        jnp.full((n, 2), 0.5, jnp.float32),
+    )
+
+    origin, direction = _camera_rays(
+        camera_ubo["inverse_view"], camera_ubo["inverse_proj"],
+        cfg.width, cfg.height, jitter, pixel_idx,
+    )
+
+    state = WavefrontState(
+        origin=origin,
+        direction=direction,
+        color=jnp.zeros((n, 3), jnp.float32),
+        throughput=jnp.ones((n, 3), jnp.float32),
+        seed_rgen=seed_rgen,
+        seed=seed_rgen,
+        alive=jnp.ones((n,), bool),
+        first_bounce=jnp.ones((n,), bool),
+        is_specular=jnp.zeros((n,), bool),
+        prev_brdf_pdf=jnp.ones((n,), jnp.float32),
+        prev_hit_pos=jnp.zeros((n, 3), jnp.float32),
+        p_sample_light=jnp.zeros((n,), jnp.float32),
+        did_direct=jnp.zeros((n,), bool),
+    )
+
+    clear_color = jnp.asarray(cfg.background, jnp.float32)
+
+    def bounce(depth, carry):
+        state, rays_traced, shadow_total = carry
+        # Russian roulette (simple.rgen:55-68,88-90).
+        rr_lane = state.alive & (depth >= cfg.rr_start_depth)
+        lum = luminance_rec709(state.throughput)
+        p = jnp.minimum(jnp.maximum(lum, 0.05), 0.95)
+        r, seed_rgen = rng.rnd_masked(state.seed_rgen, rr_lane)
+        rr_kill = rr_lane & (r > p)
+        throughput = jnp.where(
+            (rr_lane & ~rr_kill)[:, None], state.throughput / p[:, None],
+            state.throughput,
+        )
+        state = state._replace(
+            seed_rgen=seed_rgen,
+            throughput=throughput,
+            alive=state.alive & ~rr_kill,
+        )
+
+        rays_traced = rays_traced + jnp.sum(state.alive.astype(jnp.int32))
+        hit = _trace(scene, state.origin, state.direction, cfg, state.alive)
+        state, payload_hit, shadow_rays = _shade(scene, state, hit, cfg)
+        shadow_total = shadow_total + shadow_rays
+
+        # Miss branch (simple.rgen:106-109), including the failed-BSDF-sample
+        # quirk (payload.hit=false from rchit).
+        missed = state.alive & ~payload_hit
+        state = state._replace(
+            color=jnp.where(
+                missed[:, None],
+                state.color + state.throughput * clear_color,
+                state.color,
+            ),
+            alive=state.alive & payload_hit,
+        )
+
+        # Throughput validity kill (simple.rgen:115-118).
+        tp = state.throughput
+        bad = (
+            jnp.any(jnp.isnan(tp) | jnp.isinf(tp), axis=-1)
+            | jnp.all(tp < 0.001, axis=-1)
+        )
+        return state._replace(alive=state.alive & ~bad), rays_traced, shadow_total
+
+    state, rays_traced, shadow_total = jax.lax.fori_loop(
+        0, cfg.max_depth, bounce, (state, jnp.int32(0), jnp.int32(0))
+    )
+
+    # Clamp + NaN scrub (simple.rgen:121-125).
+    final = jnp.minimum(state.color, cfg.radiance_clamp)
+    invalid = jnp.any(jnp.isnan(final) | jnp.isinf(final), axis=-1)
+    radiance = jnp.where(invalid[:, None], 0.0, final)
+    if with_stats:
+        return radiance, {
+            "rays_traced": rays_traced,
+            "shadow_rays": shadow_total,
+            "total_rays": rays_traced + shadow_total,
+        }
+    return radiance
+
+
+def render_frame(scene, camera_ubo, accum, frame_number, cfg: RenderConfig):
+    """Progressive accumulation step (simple.rgen:127-136): returns the new
+    accumulation buffer f32[N,3]. jit this (scene/cfg static via closure or
+    static_argnums)."""
+    radiance = render_wavefront(scene, camera_ubo, frame_number, cfg)
+    frame_f = jnp.asarray(frame_number, jnp.float32)
+    a = 1.0 / (frame_f + 1.0)
+    return jnp.where(
+        jnp.asarray(frame_number, jnp.uint32) == 0,
+        radiance,
+        accum + (radiance - accum) * a,
+    )

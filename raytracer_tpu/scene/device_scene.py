@@ -1,0 +1,296 @@
+"""SceneOnDevice: the baked, device-resident scene pytree.
+
+TPU-native equivalent of the reference's GPU-scene compiler
+(`src/raytracer/gpu_scene.odin:45-428`): instead of per-mesh device buffers
+addressed via buffer_device_address + a TLAS of instances, the whole scene is
+flattened into padded SoA arrays at bake time:
+
+  - all triangles pre-transformed to WORLD space (model matrix applied to
+    positions, inverse-transpose to normals — scene.odin:213-224 semantics).
+    Vertex normals are stored *unnormalized* (normal_matrix @ n): since
+    normalize(M·Σb·n_i) == normalize(Σb·(M·n_i)), interpolating these and
+    normalizing once reproduces simple.rchit:607-608 exactly.
+  - triangles stored as (v0, e1, e2) for Möller–Trumbore, in BVH leaf order,
+    padded to a lane-friendly multiple with degenerate (zero-area) triangles.
+  - per-triangle object id; per-object material id (Object_GPU_Data,
+    gpu_scene.odin:23-29, minus the device addresses which become indices).
+  - material SoA (Material_Data SSBO, gpu_scene.odin:17-21,399-428).
+  - light table built from emissive objects: object index, triangle range,
+    world transform translation (= light center for the power/distance²
+    selection weight, simple.rchit:507-520), emission — the analog of
+    Light_GPU_Data/get_lights (gpu_scene.odin:31-36,603-623).
+  - the flattened BVH (accel/bvh.py), replacing BLAS/TLAS.
+
+The pytree is replicated on every chip (scenes are ≤ a few hundred MB);
+pixel tiles are what gets sharded (parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import numpy as np
+
+from raytracer_tpu.accel.bvh import BVH, build_bvh
+from raytracer_tpu.scene.model import Scene
+
+_PAD = 128  # pad triangle count to a lane multiple
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneOnDevice:
+    # --- triangle geometry, world space, BVH leaf order, padded ---
+    tri_v0: jax.Array  # f32[T,3]
+    tri_e1: jax.Array  # f32[T,3]
+    tri_e2: jax.Array  # f32[T,3]
+    tri_n0: jax.Array  # f32[T,3] unnormalized world vertex normals
+    tri_n1: jax.Array  # f32[T,3]
+    tri_n2: jax.Array  # f32[T,3]
+    tri_object: jax.Array  # i32[T] (-1 for padding)
+    tri_material: jax.Array  # i32[T]
+
+    # --- BVH (flattened skip-link layout) ---
+    nodes_min: jax.Array  # f32[NN,3]
+    nodes_max: jax.Array  # f32[NN,3]
+    nodes_skip: jax.Array  # i32[NN]
+    nodes_first: jax.Array  # i32[NN]
+    nodes_count: jax.Array  # i32[NN]
+
+    # --- materials SoA ---
+    mat_albedo: jax.Array  # f32[M,3]
+    mat_emission_color: jax.Array  # f32[M,3]
+    mat_emission_power: jax.Array  # f32[M]
+    mat_roughness: jax.Array  # f32[M]
+    mat_metallic: jax.Array  # f32[M]
+    mat_transmission: jax.Array  # f32[M]
+    mat_ior: jax.Array  # f32[M]
+
+    # --- lights (emissive objects) ---
+    light_object: jax.Array  # i32[L]
+    light_first_tri: jax.Array  # i32[L] into the *unsorted* light tri arrays
+    light_num_tris: jax.Array  # i32[L]
+    light_center: jax.Array  # f32[L,3] model-matrix translation column
+    light_emission: jax.Array  # f32[L,3] emission_color * emission_power
+    light_power: jax.Array  # f32[L] material emission_power (selection weight)
+    # Light triangles in original (pre-BVH) order so [first, first+count)
+    # ranges stay contiguous per light:
+    light_tri_v0: jax.Array  # f32[LT,3]
+    light_tri_e1: jax.Array  # f32[LT,3]
+    light_tri_e2: jax.Array  # f32[LT,3]
+
+    # --- per-object light index (-1 if not a light), for emissive-hit MIS ---
+    obj_light_index: jax.Array  # i32[O]
+
+    # --- static metadata ---
+    num_triangles: int = dataclasses.field(metadata=dict(static=True))
+    num_lights: int = dataclasses.field(metadata=dict(static=True))
+    num_objects: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_nodes(self) -> int:
+        return self.nodes_skip.shape[0]
+
+
+def _pad_rows(a: np.ndarray, total: int, fill=0.0) -> np.ndarray:
+    if len(a) == total:
+        return a
+    pad_shape = (total - len(a),) + a.shape[1:]
+    return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
+
+
+def bake_scene(scene: Scene, leaf_size: int = 8,
+               device_put: bool = True) -> Tuple[SceneOnDevice, BVH]:
+    """Flatten + world-transform + BVH-build a CPU Scene.
+
+    The analog of gpu_scene_init/bake (gpu_scene.odin:45,77-118). Returns
+    (device_scene, host_bvh); the host BVH is kept for refit on transform
+    edits (gpu_scene.odin:457-482 semantics).
+    """
+    if not scene.objects:
+        raise ValueError("cannot bake an empty scene")
+
+    v0s, e1s, e2s, n0s, n1s, n2s, tri_obj = [], [], [], [], [], [], []
+    obj_first_tri = []
+    tri_cursor = 0
+    for oi, obj in enumerate(scene.objects):
+        mesh = scene.meshes[obj.mesh_index]
+        m = obj.transform.model_matrix
+        nmat = obj.transform.normal_matrix
+        wpos = mesh.positions @ m[:3, :3].T + m[:3, 3]
+        wnrm = mesh.normals @ nmat[:3, :3].T  # unnormalized, see module doc
+        tris = mesh.indices.reshape(-1, 3).astype(np.int64)
+        a, b, c = wpos[tris[:, 0]], wpos[tris[:, 1]], wpos[tris[:, 2]]
+        v0s.append(a)
+        e1s.append(b - a)
+        e2s.append(c - a)
+        n0s.append(wnrm[tris[:, 0]])
+        n1s.append(wnrm[tris[:, 1]])
+        n2s.append(wnrm[tris[:, 2]])
+        tri_obj.append(np.full(len(tris), oi, np.int32))
+        obj_first_tri.append(tri_cursor)
+        tri_cursor += len(tris)
+
+    v0 = np.concatenate(v0s).astype(np.float32)
+    e1 = np.concatenate(e1s).astype(np.float32)
+    e2 = np.concatenate(e2s).astype(np.float32)
+    n0 = np.concatenate(n0s).astype(np.float32)
+    n1 = np.concatenate(n1s).astype(np.float32)
+    n2 = np.concatenate(n2s).astype(np.float32)
+    tri_object = np.concatenate(tri_obj)
+    num_tris = len(v0)
+
+    obj_material = np.asarray(
+        [o.material_index for o in scene.objects], np.int32
+    )
+
+    # --- lights from emissive objects (gpu_scene.odin:603-623) ---
+    light_object, light_first, light_count = [], [], []
+    light_center, light_emission, light_power = [], [], []
+    obj_light_index = np.full(len(scene.objects), -1, np.int32)
+    for oi, obj in enumerate(scene.objects):
+        mat = scene.materials[obj.material_index]
+        if mat.emission_power > 0:
+            obj_light_index[oi] = len(light_object)
+            light_object.append(oi)
+            light_first.append(obj_first_tri[oi])
+            light_count.append(scene.meshes[obj.mesh_index].num_triangles)
+            light_center.append(obj.transform.model_matrix[:3, 3])
+            light_emission.append(
+                np.asarray(mat.emission_color, np.float32) * mat.emission_power
+            )
+            light_power.append(mat.emission_power)
+    num_lights = len(light_object)
+
+    # --- BVH over world triangles, then permute triangle arrays ---
+    bvh = build_bvh(v0, e1, e2, leaf_size=leaf_size)
+    perm = bvh.tri_order
+    v0p, e1p, e2p = v0[perm], e1[perm], e2[perm]
+    n0p, n1p, n2p = n0[perm], n1[perm], n2[perm]
+    tri_object_p = tri_object[perm]
+    tri_material_p = obj_material[tri_object_p]
+
+    # --- pad to lane multiple with degenerate triangles ---
+    t_pad = max(_PAD, ((num_tris + _PAD - 1) // _PAD) * _PAD)
+
+    materials = scene.materials
+
+    def as_device(x):
+        return jax.device_put(x) if device_put else x
+
+    ds = SceneOnDevice(
+        tri_v0=as_device(_pad_rows(v0p, t_pad)),
+        tri_e1=as_device(_pad_rows(e1p, t_pad)),
+        tri_e2=as_device(_pad_rows(e2p, t_pad)),
+        tri_n0=as_device(_pad_rows(n0p, t_pad)),
+        tri_n1=as_device(_pad_rows(n1p, t_pad)),
+        tri_n2=as_device(_pad_rows(n2p, t_pad)),
+        tri_object=as_device(_pad_rows(tri_object_p, t_pad, fill=-1)),
+        tri_material=as_device(_pad_rows(tri_material_p, t_pad, fill=0)),
+        nodes_min=as_device(bvh.nodes_min),
+        nodes_max=as_device(bvh.nodes_max),
+        nodes_skip=as_device(bvh.nodes_skip),
+        nodes_first=as_device(bvh.nodes_first),
+        nodes_count=as_device(bvh.nodes_count),
+        mat_albedo=as_device(
+            np.asarray([m.albedo for m in materials], np.float32)
+        ),
+        mat_emission_color=as_device(
+            np.asarray([m.emission_color for m in materials], np.float32)
+        ),
+        mat_emission_power=as_device(
+            np.asarray([m.emission_power for m in materials], np.float32)
+        ),
+        mat_roughness=as_device(
+            np.asarray([m.roughness for m in materials], np.float32)
+        ),
+        mat_metallic=as_device(
+            np.asarray([m.metallic for m in materials], np.float32)
+        ),
+        mat_transmission=as_device(
+            np.asarray([m.transmission for m in materials], np.float32)
+        ),
+        mat_ior=as_device(
+            np.asarray([m.ior for m in materials], np.float32)
+        ),
+        light_object=as_device(
+            np.asarray(light_object, np.int32).reshape(num_lights)
+        ),
+        light_first_tri=as_device(
+            np.asarray(light_first, np.int32).reshape(num_lights)
+        ),
+        light_num_tris=as_device(
+            np.asarray(light_count, np.int32).reshape(num_lights)
+        ),
+        light_center=as_device(
+            np.asarray(light_center, np.float32).reshape(num_lights, 3)
+        ),
+        light_emission=as_device(
+            np.asarray(light_emission, np.float32).reshape(num_lights, 3)
+        ),
+        light_power=as_device(
+            np.asarray(light_power, np.float32).reshape(num_lights)
+        ),
+        light_tri_v0=as_device(np.ascontiguousarray(v0)),
+        light_tri_e1=as_device(np.ascontiguousarray(e1)),
+        light_tri_e2=as_device(np.ascontiguousarray(e2)),
+        obj_light_index=as_device(obj_light_index),
+        num_triangles=num_tris,
+        num_lights=num_lights,
+        num_objects=len(scene.objects),
+    )
+    return ds, bvh
+
+
+def update_materials(ds: SceneOnDevice, scene: Scene) -> SceneOnDevice:
+    """Cheap incremental material update (gpu_scene_update_material,
+    gpu_scene.odin:560-601): rewrite the material SoA and light emissions
+    without touching geometry or the BVH. Falls back to a full bake when the
+    set of emissive objects changed (the reference also rebuilds lights +
+    TLAS masks in that case)."""
+    mats = scene.materials
+    emissive_now = [
+        oi for oi, o in enumerate(scene.objects)
+        if mats[o.material_index].emission_power > 0
+    ]
+    if emissive_now != list(np.asarray(ds.light_object).tolist()):
+        new_ds, _ = bake_scene(scene)
+        return new_ds
+    light_emission = np.asarray(
+        [
+            np.asarray(mats[scene.objects[oi].material_index].emission_color,
+                       np.float32)
+            * mats[scene.objects[oi].material_index].emission_power
+            for oi in emissive_now
+        ],
+        np.float32,
+    ).reshape(len(emissive_now), 3)
+    light_power = np.asarray(
+        [mats[scene.objects[oi].material_index].emission_power
+         for oi in emissive_now],
+        np.float32,
+    ).reshape(len(emissive_now))
+    return dataclasses.replace(
+        ds,
+        mat_albedo=jax.device_put(np.asarray([m.albedo for m in mats], np.float32)),
+        mat_emission_color=jax.device_put(
+            np.asarray([m.emission_color for m in mats], np.float32)
+        ),
+        mat_emission_power=jax.device_put(
+            np.asarray([m.emission_power for m in mats], np.float32)
+        ),
+        mat_roughness=jax.device_put(
+            np.asarray([m.roughness for m in mats], np.float32)
+        ),
+        mat_metallic=jax.device_put(
+            np.asarray([m.metallic for m in mats], np.float32)
+        ),
+        mat_transmission=jax.device_put(
+            np.asarray([m.transmission for m in mats], np.float32)
+        ),
+        mat_ior=jax.device_put(np.asarray([m.ior for m in mats], np.float32)),
+        light_emission=jax.device_put(light_emission),
+        light_power=jax.device_put(light_power),
+    )

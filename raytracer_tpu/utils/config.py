@@ -1,0 +1,80 @@
+"""Render configuration.
+
+The reference hard-codes its knobs at compile time in GLSL
+(`shaders/simple.rchit:9-13`: USE_DIRECT_LIGHTING / USE_LIGHT_SAMPLING_ONLY /
+USE_MIS, MAXLIGHTS=256; `shaders/simple.rgen:23`: MAX_DEPTH=3) and exposes a
+few at runtime through the UI (background color, accumulation limit —
+`src/raytracer/ui.odin:170-173,509-536`). Here every knob is a runtime config
+field; all are static (hashable) so a config change triggers a re-jit, which
+is the XLA analog of the reference's recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static configuration for one render. Hashable -> usable as a jit
+    static argument."""
+
+    width: int = 1280
+    height: int = 1020  # reference default window (src/main.odin:41-42)
+
+    # Path tracing (shaders/simple.rgen:23, simple.rchit:9-13)
+    max_depth: int = 3
+    use_direct_lighting: bool = True
+    use_mis: bool = True
+    max_lights: int = 256
+
+    # Russian roulette starts at this bounce depth (simple.rgen:55-68).
+    rr_start_depth: int = 3
+
+    # Radiance clamp applied before accumulation (simple.rgen:121).
+    radiance_clamp: float = 5.0
+
+    # Background ("clear color"); reference default is sky-blue
+    # (src/raytracer/raytracing_renderer.odin:77).
+    background: Tuple[float, float, float] = (0.53, 0.81, 0.92)
+
+    # Stop accumulating after this many frames (None = unlimited), mirroring
+    # the reference's accumulation-limit UI modal (ui.odin:509-536).
+    accumulation_limit: Optional[int] = None
+
+    # Dielectric transmission/refraction. The reference *declares*
+    # Material.transmission/ior (shaders/ray_common.glsl:9-10) but no shader
+    # reads them; we implement them for real (BASELINE config 3).
+    enable_transmission: bool = True
+
+    # Intersection epsilons (traceRayEXT args, simple.rgen:92-104).
+    t_min: float = 0.001
+    t_max: float = 10000.0
+
+    # Acceleration structure: "bvh" or "brute" (O(T) reference oracle).
+    accel: str = "bvh"
+    bvh_leaf_size: int = 8
+
+    # ReSTIR DI (BASELINE config 5). Off = plain NEE/MIS per the reference's
+    # simple.* pipeline.
+    use_restir: bool = False
+    restir_initial_candidates: int = 8
+    restir_spatial_neighbors: int = 4
+    restir_spatial_radius: float = 16.0
+    restir_max_m: int = 128
+
+    def __post_init__(self):
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("width/height must be positive")
+        if self.max_depth < 1:
+            raise ValueError("max_depth must be >= 1")
+        if self.accel not in ("bvh", "brute"):
+            raise ValueError(f"unknown accel {self.accel!r}")
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,141 @@
+"""BVH structural invariants + native builder parity + refit."""
+
+import numpy as np
+import pytest
+
+from raytracer_tpu.accel.bvh import build_bvh_numpy
+from raytracer_tpu.accel import native_builder
+
+
+def _random_tris(rng_np, t):
+    v0 = rng_np.uniform(-5, 5, size=(t, 3)).astype(np.float32)
+    e1 = rng_np.uniform(-1, 1, size=(t, 3)).astype(np.float32)
+    e2 = rng_np.uniform(-1, 1, size=(t, 3)).astype(np.float32)
+    return v0, e1, e2
+
+
+def _check_invariants(bvh, v0, e1, e2, leaf_size):
+    t = len(v0)
+    nn = bvh.num_nodes
+    # Permutation covers all triangles once.
+    assert sorted(bvh.tri_order.tolist()) == list(range(t))
+    # Leaves are small enough for the static traversal loop.
+    leaves = bvh.nodes_count > 0
+    assert bvh.nodes_count[leaves].max() <= leaf_size
+    # Leaf ranges are disjoint and cover [0, T).
+    firsts = bvh.nodes_first[leaves]
+    counts = bvh.nodes_count[leaves]
+    seen = np.zeros(t, bool)
+    for f, c in zip(firsts, counts):
+        assert not seen[f : f + c].any()
+        seen[f : f + c] = True
+    assert seen.all()
+    # Skip links are strictly forward and land in (i, nn].
+    skips = bvh.nodes_skip
+    idx = np.arange(nn)
+    assert (skips > idx).all() and (skips <= nn).all()
+    # AABBs contain their triangles (reordered).
+    lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)[bvh.tri_order]
+    hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)[bvh.tri_order]
+    for i in np.nonzero(leaves)[0]:
+        f, c = bvh.nodes_first[i], bvh.nodes_count[i]
+        assert (lo[f : f + c] >= bvh.nodes_min[i] - 1e-4).all()
+        assert (hi[f : f + c] <= bvh.nodes_max[i] + 1e-4).all()
+    # Children are inside parents.
+    for i in range(1, nn):
+        p = bvh.parent[i]
+        assert (bvh.nodes_min[i] >= bvh.nodes_min[p] - 1e-4).all()
+        assert (bvh.nodes_max[i] <= bvh.nodes_max[p] + 1e-4).all()
+
+
+@pytest.mark.parametrize("t", [1, 2, 7, 64, 513])
+def test_numpy_builder_invariants(rng_np, t):
+    v0, e1, e2 = _random_tris(rng_np, t)
+    bvh = build_bvh_numpy(v0, e1, e2, leaf_size=8)
+    _check_invariants(bvh, v0, e1, e2, 8)
+
+
+def test_degenerate_coincident_centroids():
+    t = 40
+    v0 = np.zeros((t, 3), np.float32)
+    e1 = np.tile([[1, 0, 0]], (t, 1)).astype(np.float32)
+    e2 = np.tile([[0, 1, 0]], (t, 1)).astype(np.float32)
+    bvh = build_bvh_numpy(v0, e1, e2, leaf_size=8)
+    _check_invariants(bvh, v0, e1, e2, 8)
+
+
+def test_native_builder_invariants(rng_np):
+    if not native_builder.available():
+        pytest.skip("libbvh.so not built")
+    v0, e1, e2 = _random_tris(rng_np, 1000)
+    bvh = native_builder.build_bvh_native(v0, e1, e2, leaf_size=8)
+    _check_invariants(bvh, v0, e1, e2, 8)
+
+
+def test_native_matches_numpy_hit_results(rng_np):
+    """Different trees are fine; identical closest hits are required."""
+    if not native_builder.available():
+        pytest.skip("libbvh.so not built")
+    import jax.numpy as jnp
+
+    from raytracer_tpu.ops.traverse import intersect_bvh
+
+    t, r = 600, 128
+    v0, e1, e2 = _random_tris(rng_np, t)
+    o = rng_np.uniform(-6, 6, size=(r, 3)).astype(np.float32)
+    d = rng_np.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    results = []
+    for builder in (build_bvh_numpy, native_builder.build_bvh_native):
+        bvh = builder(v0, e1, e2, leaf_size=8)
+        perm = bvh.tri_order
+
+        class S:
+            tri_v0 = jnp.asarray(v0[perm])
+            tri_e1 = jnp.asarray(e1[perm])
+            tri_e2 = jnp.asarray(e2[perm])
+            nodes_min = jnp.asarray(bvh.nodes_min)
+            nodes_max = jnp.asarray(bvh.nodes_max)
+            nodes_skip = jnp.asarray(bvh.nodes_skip)
+            nodes_first = jnp.asarray(bvh.nodes_first)
+            nodes_count = jnp.asarray(bvh.nodes_count)
+
+        rec = intersect_bvh(jnp.asarray(o), jnp.asarray(d), S, 1e-3, 1e4,
+                            leaf_size=8)
+        # Map hit tri back to input order for comparison.
+        tri_global = np.where(
+            np.asarray(rec.hit), perm[np.clip(np.asarray(rec.tri), 0, t - 1)],
+            -1,
+        )
+        results.append((np.asarray(rec.hit), np.asarray(rec.t), tri_global))
+
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    hits = results[0][0]
+    np.testing.assert_allclose(
+        results[0][1][hits], results[1][1][hits], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_refit_tracks_moved_triangles(rng_np):
+    v0, e1, e2 = _random_tris(rng_np, 200)
+    bvh = build_bvh_numpy(v0, e1, e2, leaf_size=8)
+    perm = bvh.tri_order
+    v0s, e1s, e2s = v0[perm], e1[perm], e2[perm]
+    offset = np.asarray([3.0, -1.0, 2.0], np.float32)
+    bvh.refit(v0s + offset, e1s, e2s)
+    _check_invariants_after_refit(bvh, v0s + offset, e1s, e2s)
+
+
+def _check_invariants_after_refit(bvh, v0s, e1s, e2s):
+    lo = np.minimum(np.minimum(v0s, v0s + e1s), v0s + e2s)
+    hi = np.maximum(np.maximum(v0s, v0s + e1s), v0s + e2s)
+    leaves = bvh.nodes_count > 0
+    for i in np.nonzero(leaves)[0]:
+        f, c = bvh.nodes_first[i], bvh.nodes_count[i]
+        assert (lo[f : f + c] >= bvh.nodes_min[i] - 1e-4).all()
+        assert (hi[f : f + c] <= bvh.nodes_max[i] + 1e-4).all()
+    for i in range(1, bvh.num_nodes):
+        p = bvh.parent[i]
+        assert (bvh.nodes_min[i] >= bvh.nodes_min[p] - 1e-4).all()
+        assert (bvh.nodes_max[i] <= bvh.nodes_max[p] + 1e-4).all()

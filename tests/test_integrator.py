@@ -1,0 +1,171 @@
+"""End-to-end integrator tests: furnace, Cornell box, determinism,
+accumulation and checkpoint semantics."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytracer_tpu.api import ProgressiveRenderer, render
+from raytracer_tpu.ops.camera import Camera
+from raytracer_tpu.scene.model import Material, Scene, create_sphere
+from raytracer_tpu.utils.config import RenderConfig
+
+
+def _furnace_scene():
+    """A white diffuse unit sphere floating in a uniform white background.
+    Every camera ray hits the sphere, bounces until it escapes, and picks up
+    the background radiance: pixels must converge near 1 (energy
+    conservation of the diffuse BRDF + RR + miss plumbing)."""
+    scene = Scene()
+    white = scene.add_material(
+        Material(name="white", albedo=(1.0, 1.0, 1.0), roughness=1.0)
+    )
+    sphere = scene.add_mesh(create_sphere(24, 24))
+    scene.add_object("Ball", sphere, white)
+    return scene
+
+
+def test_white_furnace():
+    cfg = RenderConfig(
+        width=32, height=32, max_depth=24, rr_start_depth=3,
+        background=(1.0, 1.0, 1.0), radiance_clamp=100.0, accel="bvh",
+    )
+    # Close enough that the sphere fills the whole 45-degree frustum.
+    cam = Camera.create(position=(0, 0, -1.5), aspect=1.0)
+    img = render(_furnace_scene(), cam, cfg, num_frames=48)
+    mean = img.mean()
+    # Fresnel-damped Lambert loses a few percent per bounce by design
+    # (the (1-F) factor, simple.rchit:146).
+    assert 0.70 < mean < 1.02, mean
+    assert np.isfinite(img).all()
+
+
+def test_cornell_smoke():
+    cfg = RenderConfig(width=64, height=64, accel="bvh")
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    img = render(create_cornell_box(), None, cfg, num_frames=4)
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01  # something got lit
+    assert img.min() >= 0.0
+
+
+def test_brute_vs_bvh_same_image():
+    """The acceleration structure must not change the image (same RNG, same
+    hits): SSIM ~ 1 and near-bitwise match."""
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    imgs = {}
+    for accel in ("brute", "bvh"):
+        cfg = RenderConfig(width=48, height=48, accel=accel)
+        imgs[accel] = render(create_cornell_box(), None, cfg, num_frames=2)
+    np.testing.assert_allclose(imgs["brute"], imgs["bvh"], rtol=1e-3, atol=1e-3)
+
+
+def test_deterministic():
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    cfg = RenderConfig(width=32, height=32)
+    a = render(create_cornell_box(), None, cfg, num_frames=3)
+    b = render(create_cornell_box(), None, cfg, num_frames=3)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_accumulation_mean_semantics():
+    """Progressive accumulation = running mean of per-frame radiance
+    (simple.rgen:127-136)."""
+    from raytracer_tpu.integrator.wavefront import render_wavefront
+    from raytracer_tpu.scene.device_scene import bake_scene
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    cfg = RenderConfig(width=16, height=16)
+    ds, _ = bake_scene(create_cornell_box())
+    cam = Camera.create(position=(0, 0, -3), aspect=1.0)
+    mats = cam.matrices()
+    ubo = {
+        "inverse_view": jnp.asarray(mats["inverse_view"]),
+        "inverse_proj": jnp.asarray(mats["inverse_proj"]),
+    }
+    frames = [
+        np.asarray(render_wavefront(ds, ubo, jnp.uint32(i), cfg))
+        for i in range(3)
+    ]
+    r = ProgressiveRenderer(create_cornell_box(), cam, cfg)
+    for _ in range(3):
+        r.step()
+    want = np.mean(frames, axis=0).reshape(16, 16, 3)
+    np.testing.assert_allclose(r.image(), want, rtol=1e-4, atol=1e-5)
+
+
+def test_accumulation_limit():
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    cfg = RenderConfig(width=16, height=16, accumulation_limit=2)
+    r = ProgressiveRenderer(create_cornell_box(), None, cfg)
+    assert r.step() and r.step()
+    assert not r.step()  # limit reached -> frame skipped
+    assert r.frame == 2
+
+
+def test_camera_dirty_resets_accumulation():
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    cfg = RenderConfig(width=16, height=16)
+    r = ProgressiveRenderer(create_cornell_box(), None, cfg)
+    r.step()
+    r.step()
+    assert r.frame == 2
+    r.camera.move((0.1, 0, 0))
+    r.step()
+    assert r.frame == 1  # reset happened before the new frame
+
+
+def test_material_edit_resets_and_changes_image():
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    cfg = RenderConfig(width=24, height=24)
+    scene = create_cornell_box()
+    r = ProgressiveRenderer(scene, None, cfg)
+    r.step()
+    before = r.image().copy()
+    scene.update_material(
+        1, Material(name="red", albedo=(0.05, 0.05, 0.9), roughness=1.0)
+    )
+    r.step()
+    assert r.frame == 1
+    after = r.image()
+    assert np.abs(after - before).max() > 1e-3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    cfg = RenderConfig(width=16, height=16)
+    r = ProgressiveRenderer(create_cornell_box(), None, cfg)
+    r.step()
+    r.step()
+    path = str(tmp_path / "ckpt.npz")
+    r.save_checkpoint(path)
+    img_direct = ProgressiveRenderer(
+        create_cornell_box(), None, cfg
+    ).render(4)
+
+    r2 = ProgressiveRenderer(create_cornell_box(), None, cfg)
+    r2.load_checkpoint(path)
+    assert r2.frame == 2
+    r2.step()
+    r2.step()
+    np.testing.assert_allclose(r2.image(), img_direct, rtol=1e-5, atol=1e-6)
+
+
+def test_background_miss_color():
+    """A scene with nothing in front of the camera shows the clear color."""
+    scene = Scene()
+    m = scene.add_material(Material(name="d", albedo=(1, 1, 1), roughness=1.0))
+    sphere = scene.add_mesh(create_sphere(8, 8))
+    scene.add_object("far", sphere, m, position=(0, 0, 500.0))
+    cfg = RenderConfig(width=8, height=8, background=(0.2, 0.4, 0.6))
+    img = render(scene, None, cfg, num_frames=1)
+    corner = img[0, 0]
+    np.testing.assert_allclose(corner, [0.2, 0.4, 0.6], atol=1e-5)
