@@ -39,6 +39,16 @@ def _render_frame_jit(scene, camera_ubo, accum, frame_number, cfg):
     return render_frame(scene, camera_ubo, accum, frame_number, cfg)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2, 3))
+def _render_frame_restir_jit(scene, camera_ubo, accum, reservoir,
+                             frame_number, cfg):
+    from raytracer_tpu.integrator.restir import render_frame_restir
+
+    return render_frame_restir(
+        scene, camera_ubo, accum, reservoir, frame_number, cfg
+    )
+
+
 class ProgressiveRenderer:
     def __init__(self, scene: Scene, camera: Optional[Camera] = None,
                  config: Optional[RenderConfig] = None):
@@ -58,6 +68,11 @@ class ProgressiveRenderer:
         self.accum = jnp.zeros((self.config.num_pixels, 3), jnp.float32)
         self.frame = 0
         self._camera_ubo_dev = None
+        self.reservoir = None
+        if self.config.use_restir:
+            from raytracer_tpu.integrator.restir import Reservoir
+
+            self.reservoir = Reservoir.empty(self.config.num_pixels)
 
     # -- scene/camera plumbing ------------------------------------------
     def set_camera(self, camera: Camera):
@@ -97,6 +112,12 @@ class ProgressiveRenderer:
     def reset_accumulation(self):
         self.accum = jnp.zeros((self.config.num_pixels, 3), jnp.float32)
         self.frame = 0
+        if self.config.use_restir:
+            from raytracer_tpu.integrator.restir import Reservoir
+
+            # Temporal reuse is only valid while accumulation is: camera or
+            # scene changes invalidate both.
+            self.reservoir = Reservoir.empty(self.config.num_pixels)
 
     # -- the hot loop ---------------------------------------------------
     def step(self) -> bool:
@@ -106,13 +127,23 @@ class ProgressiveRenderer:
         limit = self.config.accumulation_limit
         if limit is not None and self.frame >= limit:
             return False
-        self.accum = _render_frame_jit(
-            self.device_scene,
-            self._camera_ubo_dev,
-            self.accum,
-            jnp.uint32(self.frame),
-            self.config,
-        )
+        if self.config.use_restir:
+            self.accum, self.reservoir = _render_frame_restir_jit(
+                self.device_scene,
+                self._camera_ubo_dev,
+                self.accum,
+                self.reservoir,
+                jnp.uint32(self.frame),
+                self.config,
+            )
+        else:
+            self.accum = _render_frame_jit(
+                self.device_scene,
+                self._camera_ubo_dev,
+                self.accum,
+                jnp.uint32(self.frame),
+                self.config,
+            )
         self.frame += 1
         return True
 

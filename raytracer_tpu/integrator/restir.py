@@ -1,0 +1,502 @@
+"""ReSTIR DI — reservoir-based direct-light resampling (BASELINE config 5).
+
+The reference *sketches* this: an RTXDI-style reservoir struct
+(shaders/restir/restir_structs.glsl:1-23), a G-buffer fill pass
+(shaders/restir.rgen:17-92: albedo, normal+roughness, position+metallic,
+emission), and a non-compiling rgen stub (restir/restir_di.rgen) that nothing
+dispatches. We implement the real algorithm
+(Bitterli et al. 2020, "Spatiotemporal reservoir resampling for real-time ray
+tracing with dynamic direct lighting") TPU-first on those data layouts:
+
+  reservoir SoA over pixels: weight_sum (w_sum), target_pdf (p̂ of the kept
+  sample), M (candidates seen), light_index, uv (triangle barycentrics),
+  distance, W (unbiased contribution weight) — field-for-field the
+  RTXDI_DIReservoir struct.
+
+Per frame (all lockstep over the pixel wavefront, fused under one jit):
+  1. G-buffer: primary hit position/normal/material via the shared BVH
+     traversal (the restir.rgen pass).
+  2. Initial candidates: RIS over `restir_initial_candidates` area-light
+     samples; target p̂ = luminance of the unshadowed contribution.
+  3. Visibility: one shadow ray for the surviving sample (kills W, biased-
+     mode visibility reuse as in the paper's basic variant).
+  4. Temporal reuse: merge the previous frame's reservoir at the same pixel,
+     M clamped to `restir_max_m`. Valid exactly when progressive
+     accumulation is valid (static camera — accumulation resets on motion,
+     raytracing_renderer.odin:196-199 semantics — so no reprojection needed).
+  5. Spatial reuse: `restir_spatial_neighbors` random neighbors within
+     `restir_spatial_radius` pixels, merged with p̂ re-evaluated at the
+     receiver (unbiased combination needs a Z-count; we use the biased M-sum
+     variant standard in real-time use).
+  6. Shade: direct = f(x, wi)·Le·G · W, plus emission on directly visible
+     emitters; indirect continues through the standard path-traced bounces
+     with NEE disabled at the first bounce (ReSTIR replaces it there).
+
+RNG: ReSTIR draws come from a dedicated third stream seeded with
+tea(pixel, frame ^ 0x9E3779B9) so the base integrator's stream parity with
+the reference is untouched.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.ops import brdf, rng
+from raytracer_tpu.ops.math3d import (
+    cos_theta,
+    cross,
+    dot,
+    dot_k,
+    length,
+    luminance_rec601,
+    make_basis,
+    normalize,
+    world_to_local,
+)
+from raytracer_tpu.utils.config import RenderConfig
+
+
+class Reservoir(NamedTuple):
+    """RTXDI_DIReservoir SoA (restir_structs.glsl:1-11)."""
+
+    weight_sum: jnp.ndarray  # f32[N]
+    target_pdf: jnp.ndarray  # f32[N]
+    m: jnp.ndarray  # f32[N] (float so temporal clamping is exact)
+    light_index: jnp.ndarray  # i32[N] (-1 invalid)
+    uv: jnp.ndarray  # f32[N,2] (triangle pick u, sqrt-bary seed v) — see below
+    distance: jnp.ndarray  # f32[N]
+    w: jnp.ndarray  # f32[N] final contribution weight
+
+    @staticmethod
+    def empty(n: int) -> "Reservoir":
+        """RTXDI_EmptyDIReservoir (restir_structs.glsl:13-23)."""
+        return Reservoir(
+            weight_sum=jnp.zeros(n, jnp.float32),
+            target_pdf=jnp.zeros(n, jnp.float32),
+            m=jnp.zeros(n, jnp.float32),
+            light_index=jnp.full(n, -1, jnp.int32),
+            uv=jnp.zeros((n, 2), jnp.float32),
+            distance=jnp.zeros(n, jnp.float32),
+            w=jnp.zeros(n, jnp.float32),
+        )
+
+
+class GBuffer(NamedTuple):
+    """The restir.rgen G-buffer images as SoA (restir.rgen:20-28)."""
+
+    position: jnp.ndarray  # f32[N,3]
+    normal: jnp.ndarray  # f32[N,3]
+    albedo: jnp.ndarray  # f32[N,3]
+    roughness: jnp.ndarray  # f32[N]
+    metallic: jnp.ndarray  # f32[N]
+    emission: jnp.ndarray  # f32[N,3]  (color*power)
+    hit: jnp.ndarray  # bool[N]
+    object: jnp.ndarray  # i32[N]
+
+
+def _reservoir_update(res: Reservoir, cand_light, cand_uv, cand_dist,
+                      cand_target, cand_weight, r):
+    """Streaming RIS update: keep candidate with prob weight/weight_sum."""
+    weight_sum = res.weight_sum + cand_weight
+    take = (cand_weight > 0.0) & (
+        r * weight_sum <= cand_weight
+    )
+    return Reservoir(
+        weight_sum=weight_sum,
+        target_pdf=jnp.where(take, cand_target, res.target_pdf),
+        m=res.m + 1.0,
+        light_index=jnp.where(take, cand_light, res.light_index),
+        uv=jnp.where(take[:, None], cand_uv, res.uv),
+        distance=jnp.where(take, cand_dist, res.distance),
+        w=res.w,  # finalized later
+    )
+
+
+def _reservoir_merge(res: Reservoir, other: Reservoir, other_target_here, r,
+                     valid):
+    """Merge `other` (with target pdf re-evaluated at the receiver) into
+    `res`. `valid` masks lanes where `other` contributes."""
+    m_other = jnp.where(valid, other.m, 0.0)
+    w_other = jnp.where(valid, other_target_here * other.w * m_other, 0.0)
+    weight_sum = res.weight_sum + w_other
+    take = (w_other > 0.0) & (r * weight_sum <= w_other)
+    return Reservoir(
+        weight_sum=weight_sum,
+        target_pdf=jnp.where(take, other_target_here, res.target_pdf),
+        m=res.m + m_other,
+        light_index=jnp.where(take, other.light_index, res.light_index),
+        uv=jnp.where(take[:, None], other.uv, res.uv),
+        distance=jnp.where(take, other.distance, res.distance),
+        w=res.w,
+    )
+
+
+def _finalize(res: Reservoir) -> Reservoir:
+    """W = w_sum / (M * p̂) (the unbiased contribution weight)."""
+    w = jnp.where(
+        (res.target_pdf > 0.0) & (res.m > 0.0),
+        res.weight_sum / jnp.maximum(res.m * res.target_pdf, 1e-20),
+        0.0,
+    )
+    return res._replace(w=w)
+
+
+def _sample_light_point(scene, light_idx, u_tri, r1, r2, cfg):
+    """Area-sample light `light_idx` at given random numbers. Returns
+    (pos, normal_raw, area, num_tris, emission). Mirrors sampleLight's
+    sqrt-barycentric sampling (simple.rchit:266-282) but is deterministic
+    in (u_tri, r1, r2) so reservoir samples can be re-evaluated."""
+    l_used = min(scene.num_lights, cfg.max_lights)
+    sel = jnp.clip(light_idx, 0, l_used - 1)
+    first = scene.light_first_tri[sel]
+    num_tris = scene.light_num_tris[sel]
+    tri_local = jnp.minimum(
+        (u_tri * num_tris.astype(jnp.float32)).astype(jnp.int32),
+        num_tris - 1,
+    )
+    ti = jnp.clip(first + tri_local, 0, scene.light_tri_v0.shape[0] - 1)
+    v0 = scene.light_tri_v0[ti]
+    e1 = scene.light_tri_e1[ti]
+    e2 = scene.light_tri_e2[ti]
+    sqrt_r1 = jnp.sqrt(r1)
+    bu = 1.0 - sqrt_r1
+    bv = sqrt_r1 * (1.0 - r2)
+    bw = sqrt_r1 * r2
+    pos = bu[:, None] * v0 + bv[:, None] * (v0 + e1) + bw[:, None] * (v0 + e2)
+    face_n = cross(e1, e2)
+    area = 0.5 * length(face_n)
+    emission = scene.light_emission[sel]
+    return pos, face_n, area, num_tris, emission
+
+
+def _target_pdf(scene, gbuf: GBuffer, light_idx, uv, cfg):
+    """p̂ = luminance(f·Le·G) of the unshadowed contribution at the G-buffer
+    surface, plus the geometry needed for shading. uv = (u_tri, r1) with the
+    paper's 2-random-number parameterization collapsed onto the reference's
+    reservoir uv field; r2 is derived from r1 via a fixed hash-free fold so
+    the sample point is a pure function of the stored uv."""
+    u_tri = uv[:, 0]
+    r1 = uv[:, 1]
+    r2 = (u_tri * 7919.0 + r1 * 104729.0) % 1.0
+    pos, face_n, area, num_tris, emission = _sample_light_point(
+        scene, light_idx, u_tri, r1, r2, cfg
+    )
+    to_light = pos - gbuf.position
+    dist = jnp.maximum(length(to_light), 0.01)
+    wi = to_light / dist[:, None]
+    n_light = normalize(face_n)
+    cos_l = jnp.abs(dot(n_light, -wi))
+
+    basis = make_basis(gbuf.normal)
+    # View direction: G-buffer stores the camera-ray direction implicitly via
+    # position; reconstruct wo from the camera in the caller — here we accept
+    # precomputed wo_local lanes instead.
+    return pos, dist, wi, cos_l, area, num_tris, emission, basis
+
+
+def _unshadowed_radiance(scene, gbuf, wo_world, light_idx, uv, cfg):
+    """Returns (radiance f32[N,3], dist, wi_world, valid) for the sample
+    identified by (light_idx, uv): f·Le·cosθ·cosL·area·numTris/dist² — the
+    area-measure contribution whose luminance is the ReSTIR target p̂."""
+    (pos, dist, wi, cos_l, area, num_tris, emission, basis
+     ) = _target_pdf(scene, gbuf, light_idx, uv, cfg)
+    wo_local = world_to_local(-wo_world, basis)
+    wi_local = world_to_local(wi, basis)
+    f = brdf.evaluate_full(
+        wo_local, wi_local, gbuf.albedo, gbuf.roughness, gbuf.metallic
+    )
+    cos_surf = jnp.maximum(cos_theta(wi_local), 0.0)
+    geom = cos_surf * cos_l / (dist * dist)
+    # Area-measure: multiply by the sampled area (pdf_area = 1/(area*numTris)
+    # is divided out by using contribution per unit sample probability).
+    scale = geom * area * jnp.maximum(num_tris.astype(jnp.float32), 1.0)
+    radiance = f * emission * scale[:, None]
+    valid = (light_idx >= 0) & (cos_l > 1e-6) & (cos_surf > 0.0) & gbuf.hit
+    radiance = jnp.where(valid[:, None], radiance, 0.0)
+    return radiance, dist, pos, wi, valid
+
+
+def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
+                  cfg: RenderConfig, occlusion_fn):
+    """Full ReSTIR DI pipeline steps 2-6. Returns (direct_radiance f32[N,3],
+    reservoir for the next frame)."""
+    n = gbuf.position.shape[0]
+    l_used = min(scene.num_lights, cfg.max_lights)
+    if l_used == 0:
+        return jnp.zeros((n, 3), jnp.float32), Reservoir.empty(n)
+
+    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+    seed = rng.tea(
+        pixel_idx,
+        jnp.asarray(frame_number, jnp.uint32) ^ jnp.uint32(0x9E3779B9),
+    )
+
+    # --- light-selection weights (power/dist², as the base integrator) ---
+    centers = scene.light_center[:l_used]
+    powers = scene.light_power[:l_used]
+    diff = gbuf.position[:, None, :] - centers[None, :, :]
+    dist_sq = jnp.sum(diff * diff, axis=-1)
+    weights = powers[None, :] / jnp.maximum(dist_sq, 0.001)
+    weights = jnp.where(
+        scene.light_object[None, :l_used] == gbuf.object[:, None], 0.0, weights
+    )
+    total_w = jnp.sum(weights, axis=-1)
+    cdf = jnp.cumsum(weights, axis=1)
+
+    # --- 2. initial candidates (RIS) ---
+    res = Reservoir.empty(n)
+    for _ in range(cfg.restir_initial_candidates):
+        r_sel, seed = rng.rnd(seed)
+        r1, seed = rng.rnd(seed)
+        r2, seed = rng.rnd(seed)
+        r_keep, seed = rng.rnd(seed)
+        pick = r_sel * total_w
+        light = jnp.argmax(cdf >= pick[:, None], axis=1).astype(jnp.int32)
+        found = jnp.any(cdf >= pick[:, None], axis=1) & (total_w > 0.0)
+        light = jnp.where(found, light, -1)
+        sel_w = jnp.take_along_axis(
+            weights, jnp.clip(light, 0, l_used - 1)[:, None], axis=1
+        )[:, 0]
+        source_pdf = jnp.where(
+            found, sel_w / jnp.maximum(total_w, 1e-20), 0.0
+        )
+        uv = jnp.stack([r1, r2], axis=-1)
+        radiance, dist, _pos, _wi, valid = _unshadowed_radiance(
+            scene, gbuf, wo_world, light, uv, cfg
+        )
+        target = luminance_rec601(radiance)
+        # RIS weight = p̂ / p_source (area pdf already folded into radiance).
+        cand_weight = jnp.where(
+            valid & (source_pdf > 0.0), target / jnp.maximum(source_pdf, 1e-20),
+            0.0,
+        )
+        res = _reservoir_update(res, light, uv, dist, target, cand_weight,
+                                r_keep)
+    res = _finalize(res)
+
+    # --- 3. visibility for the survivor ---
+    radiance, dist, lpos, wi, valid = _unshadowed_radiance(
+        scene, gbuf, wo_world, res.light_index, res.uv, cfg
+    )
+    light_obj = scene.light_object[
+        jnp.clip(res.light_index, 0, l_used - 1)
+    ]
+    eps = 0.001
+    offset_from = gbuf.position + gbuf.normal * (
+        eps * jnp.sign(dot_k(gbuf.normal, wi))
+    )
+    sr = lpos - offset_from
+    sr_dist = length(sr)
+    sr_dir = sr / jnp.maximum(sr_dist, 1e-20)[:, None]
+    occ = occlusion_fn(offset_from, sr_dir, sr_dist * 0.999, light_obj,
+                       valid & (sr_dist > 0.0))
+    res = res._replace(w=jnp.where(occ | ~valid, 0.0, res.w))
+
+    # --- 4. temporal reuse ---
+    if prev_reservoir is not None:
+        r_t, seed = rng.rnd(seed)
+        prev = prev_reservoir
+        prev = prev._replace(m=jnp.minimum(prev.m, float(cfg.restir_max_m)))
+        prev_rad, _, _, _, prev_valid = _unshadowed_radiance(
+            scene, gbuf, wo_world, prev.light_index, prev.uv, cfg
+        )
+        prev_target_here = luminance_rec601(prev_rad)
+        res = _reservoir_merge(res, prev, prev_target_here, r_t,
+                               prev_valid & (prev.w > 0.0))
+        res = _finalize(res)
+
+    # --- 5. spatial reuse ---
+    width = cfg.width
+    for _ in range(cfg.restir_spatial_neighbors):
+        r_a, seed = rng.rnd(seed)
+        r_b, seed = rng.rnd(seed)
+        r_m, seed = rng.rnd(seed)
+        ang = 2.0 * 3.14159265 * r_a
+        rad = cfg.restir_spatial_radius * jnp.sqrt(r_b)
+        dx = (jnp.cos(ang) * rad).astype(jnp.int32)
+        dy = (jnp.sin(ang) * rad).astype(jnp.int32)
+        px = (pixel_idx.astype(jnp.int32) % width) + dx
+        py = (pixel_idx.astype(jnp.int32) // width) + dy
+        in_bounds = (
+            (px >= 0) & (px < width) & (py >= 0) & (py < cfg.height)
+        )
+        nbr = jnp.clip(py * width + px, 0, n - 1)
+        nbr_res = jax.tree_util.tree_map(lambda a: a[nbr], res)
+        # Geometric similarity gate (normal + depth proximity) to limit bias.
+        nrm_ok = dot(gbuf.normal[nbr], gbuf.normal) > 0.9
+        nbr_rad, _, _, _, nbr_valid = _unshadowed_radiance(
+            scene, gbuf, wo_world, nbr_res.light_index, nbr_res.uv, cfg
+        )
+        target_here = luminance_rec601(nbr_rad)
+        res = _reservoir_merge(
+            res, nbr_res, target_here, r_m,
+            in_bounds & nrm_ok & nbr_valid & (nbr_res.w > 0.0) & gbuf.hit,
+        )
+    res = _finalize(res)
+
+    # --- 6. shade the final sample ---
+    radiance, dist, lpos, wi, valid = _unshadowed_radiance(
+        scene, gbuf, wo_world, res.light_index, res.uv, cfg
+    )
+    direct = radiance * res.w[:, None]
+    direct = jnp.where((valid & (res.w > 0.0))[:, None], direct, 0.0)
+    return direct, res
+
+
+def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
+                            cfg: RenderConfig):
+    """One progressive sample with ReSTIR DI at the primary vertex and
+    path-traced indirect bounces. Returns (radiance f32[N,3], reservoir).
+
+    The primary trace doubles as the G-buffer pass (restir.rgen); the
+    standard _shade machinery runs with suppress_nee=True at the primary
+    vertex (emission of directly visible emitters still adds, exactly like
+    simple.rchit's firstBounce path) and normally afterwards."""
+    from raytracer_tpu.integrator import wavefront as wf
+
+    n = cfg.num_pixels
+    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+    frame_u32 = jnp.asarray(frame_number, jnp.uint32)
+    seed0 = rng.seed_pixels(pixel_idx, frame_u32)
+
+    jitter_on = frame_u32 > 0
+    jitter_mask = jnp.broadcast_to(jitter_on, (n,))
+    r1, seed_rgen = rng.rnd_masked(seed0, jitter_mask)
+    r2, seed_rgen = rng.rnd_masked(seed_rgen, jitter_mask)
+    jitter = jnp.where(
+        jitter_on,
+        0.5 + (jnp.stack([r1, r2], axis=-1) - 0.5) * 0.4,
+        jnp.full((n, 2), 0.5, jnp.float32),
+    )
+    origin, direction = wf._camera_rays(
+        camera_ubo["inverse_view"], camera_ubo["inverse_proj"],
+        cfg.width, cfg.height, jitter, pixel_idx,
+    )
+
+    state = wf.WavefrontState(
+        origin=origin,
+        direction=direction,
+        color=jnp.zeros((n, 3), jnp.float32),
+        throughput=jnp.ones((n, 3), jnp.float32),
+        seed_rgen=seed_rgen,
+        seed=seed_rgen,
+        alive=jnp.ones((n,), bool),
+        first_bounce=jnp.ones((n,), bool),
+        is_specular=jnp.zeros((n,), bool),
+        prev_brdf_pdf=jnp.ones((n,), jnp.float32),
+        prev_hit_pos=jnp.zeros((n, 3), jnp.float32),
+        p_sample_light=jnp.zeros((n,), jnp.float32),
+        did_direct=jnp.zeros((n,), bool),
+    )
+    clear_color = jnp.asarray(cfg.background, jnp.float32)
+
+    # --- primary trace + G-buffer (restir.rgen) ---
+    hit = wf._trace(scene, origin, direction, cfg, state.alive)
+    lane = state.alive & hit.hit
+    surf = wf.fetch_surface(scene, hit, direction, lane)
+    gbuf = GBuffer(
+        position=surf.world_pos,
+        normal=surf.world_nrm,
+        albedo=surf.albedo,
+        roughness=surf.roughness,
+        metallic=surf.metallic,
+        emission=surf.emission_color * surf.emission_power[:, None],
+        hit=lane,
+        object=surf.obj,
+    )
+
+    def occlusion_fn(o, d, t_max, skip_obj, active):
+        return wf._occluded(scene, o, d, t_max, skip_obj, cfg, active)
+
+    direct, reservoir = restir_direct(
+        scene, gbuf, direction, prev_reservoir, frame_number, cfg,
+        occlusion_fn,
+    )
+
+    # --- primary shading (BRDF sample + emission, NEE suppressed) ---
+    state, payload_hit, _ = wf._shade(scene, state, hit, cfg,
+                                      suppress_nee=True)
+    state = state._replace(
+        color=state.color + jnp.where(lane[:, None], direct, 0.0)
+    )
+
+    missed = state.alive & ~payload_hit
+    state = state._replace(
+        color=jnp.where(
+            missed[:, None],
+            state.color + state.throughput * clear_color,
+            state.color,
+        ),
+        alive=state.alive & payload_hit,
+    )
+    tp = state.throughput
+    bad = (
+        jnp.any(jnp.isnan(tp) | jnp.isinf(tp), axis=-1)
+        | jnp.all(tp < 0.001, axis=-1)
+    )
+    state = state._replace(alive=state.alive & ~bad)
+
+    # --- indirect bounces (standard path tracing with NEE) ---
+    def bounce(depth, carry):
+        state, rays, shadows = carry
+        rr_lane = state.alive & (depth >= cfg.rr_start_depth)
+        from raytracer_tpu.ops.math3d import luminance_rec709
+
+        lum = luminance_rec709(state.throughput)
+        p = jnp.minimum(jnp.maximum(lum, 0.05), 0.95)
+        r, seed_rgen2 = rng.rnd_masked(state.seed_rgen, rr_lane)
+        rr_kill = rr_lane & (r > p)
+        throughput = jnp.where(
+            (rr_lane & ~rr_kill)[:, None], state.throughput / p[:, None],
+            state.throughput,
+        )
+        state = state._replace(
+            seed_rgen=seed_rgen2, throughput=throughput,
+            alive=state.alive & ~rr_kill,
+        )
+        hit = wf._trace(scene, state.origin, state.direction, cfg,
+                        state.alive)
+        state, payload_hit, sh = wf._shade(scene, state, hit, cfg)
+        missed = state.alive & ~payload_hit
+        state = state._replace(
+            color=jnp.where(
+                missed[:, None],
+                state.color + state.throughput * clear_color,
+                state.color,
+            ),
+            alive=state.alive & payload_hit,
+        )
+        tp = state.throughput
+        bad = (
+            jnp.any(jnp.isnan(tp) | jnp.isinf(tp), axis=-1)
+            | jnp.all(tp < 0.001, axis=-1)
+        )
+        return state._replace(alive=state.alive & ~bad), rays, shadows + sh
+
+    state, _, _ = jax.lax.fori_loop(
+        1, cfg.max_depth, bounce, (state, jnp.int32(0), jnp.int32(0))
+    )
+
+    final = jnp.minimum(state.color, cfg.radiance_clamp)
+    invalid = jnp.any(jnp.isnan(final) | jnp.isinf(final), axis=-1)
+    return jnp.where(invalid[:, None], 0.0, final), reservoir
+
+
+def render_frame_restir(scene, camera_ubo, accum, prev_reservoir,
+                        frame_number, cfg: RenderConfig):
+    """Progressive accumulation step with ReSTIR DI. Returns
+    (accum', reservoir)."""
+    radiance, reservoir = render_wavefront_restir(
+        scene, camera_ubo, prev_reservoir, frame_number, cfg
+    )
+    frame_f = jnp.asarray(frame_number, jnp.float32)
+    a = 1.0 / (frame_f + 1.0)
+    new_accum = jnp.where(
+        jnp.asarray(frame_number, jnp.uint32) == 0,
+        radiance,
+        accum + (radiance - accum) * a,
+    )
+    return new_accum, reservoir

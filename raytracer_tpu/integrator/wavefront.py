@@ -202,17 +202,31 @@ def _sample_light(scene, sel, hit_pos, seed, active, cfg: RenderConfig):
     return pos, normal, direction, dist, pdf, emission, valid, seed
 
 
-def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig):
-    """The simple.rchit port. `hit` is the traversal HitRecord; lanes where
-    `state.alive & hit.hit` run shading, everything else is masked out.
+class SurfaceHit(NamedTuple):
+    """Interpolated hit surface + material fetch (simple.rchit:590-614) —
+    shared by the standard shader and the ReSTIR G-buffer pass."""
 
-    Returns (new_state, payload_hit bool[N])."""
-    lane = state.alive & hit.hit
-    n = state.origin.shape[0]
+    world_pos: jnp.ndarray  # f32[N,3]
+    world_nrm: jnp.ndarray  # f32[N,3] face-forward flipped
+    front_facing: jnp.ndarray  # bool[N]
+    tri: jnp.ndarray  # i32[N] clipped triangle index
+    e1: jnp.ndarray  # f32[N,3] (for emissive-hit area pdf)
+    e2: jnp.ndarray  # f32[N,3]
+    obj: jnp.ndarray  # i32[N]
+    mat: jnp.ndarray  # i32[N]
+    albedo: jnp.ndarray  # f32[N,3]
+    roughness: jnp.ndarray  # f32[N]
+    metallic: jnp.ndarray  # f32[N]
+    emission_color: jnp.ndarray  # f32[N,3]
+    emission_power: jnp.ndarray  # f32[N]
+    transmission: jnp.ndarray  # f32[N]
+    ior: jnp.ndarray  # f32[N]
+
+
+def fetch_surface(scene, hit, ray_dir, lane) -> SurfaceHit:
+    """Barycentric interpolation of the hit triangle + material lookup."""
     t_count = scene.tri_v0.shape[0]
     ti = jnp.clip(hit.tri, 0, t_count - 1)
-
-    # --- hit fetch + interpolation (simple.rchit:590-614) ---
     v0 = scene.tri_v0[ti]
     e1 = scene.tri_e1[ti]
     e2 = scene.tri_e2[ti]
@@ -225,19 +239,56 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig):
         + bary_v * scene.tri_n2[ti]
     )
     world_nrm = normalize(n_interp)
-    ray_dir = state.direction
     front_facing = dot(world_nrm, -ray_dir) > 0.0
     world_nrm = jnp.where(front_facing[:, None], world_nrm, -world_nrm)
-
     obj = jnp.where(lane, scene.tri_object[ti], 0)
     mat = jnp.where(lane, scene.tri_material[ti], 0)
-    albedo = scene.mat_albedo[mat]
-    roughness = scene.mat_roughness[mat]
-    metallic = scene.mat_metallic[mat]
-    emission_color = scene.mat_emission_color[mat]
-    emission_power = scene.mat_emission_power[mat]
-    transmission = scene.mat_transmission[mat]
-    ior = scene.mat_ior[mat]
+    return SurfaceHit(
+        world_pos=world_pos,
+        world_nrm=world_nrm,
+        front_facing=front_facing,
+        tri=ti,
+        e1=e1,
+        e2=e2,
+        obj=obj,
+        mat=mat,
+        albedo=scene.mat_albedo[mat],
+        roughness=scene.mat_roughness[mat],
+        metallic=scene.mat_metallic[mat],
+        emission_color=scene.mat_emission_color[mat],
+        emission_power=scene.mat_emission_power[mat],
+        transmission=scene.mat_transmission[mat],
+        ior=scene.mat_ior[mat],
+    )
+
+
+def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig,
+           suppress_nee: bool = False):
+    """The simple.rchit port. `hit` is the traversal HitRecord; lanes where
+    `state.alive & hit.hit` run shading, everything else is masked out.
+
+    `suppress_nee=True` (static) skips the NEE lottery + draws entirely and
+    marks shaded lanes did_direct so the next bounce's emissive-hit MIS stays
+    off — used when ReSTIR supplies the direct lighting at this vertex.
+
+    Returns (new_state, payload_hit bool[N], shadow_ray_count)."""
+    lane = state.alive & hit.hit
+    n = state.origin.shape[0]
+
+    surf = fetch_surface(scene, hit, state.direction, lane)
+    world_pos = surf.world_pos
+    world_nrm = surf.world_nrm
+    ray_dir = state.direction
+    e1 = surf.e1
+    e2 = surf.e2
+    obj = surf.obj
+    albedo = surf.albedo
+    roughness = surf.roughness
+    metallic = surf.metallic
+    emission_color = surf.emission_color
+    emission_power = surf.emission_power
+    transmission = surf.transmission
+    ior = surf.ior
     is_emissive = emission_power > 0.0
 
     color = state.color
@@ -257,7 +308,12 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig):
     # --- NEE with MIS (simple.rchit:618-632) ---
     did_direct = jnp.zeros(n, bool)
     p_sample_light = jnp.clip(roughness, 0.1, 0.9)
-    if cfg.use_direct_lighting and cfg.use_mis and scene.num_lights > 0:
+    if suppress_nee:
+        # ReSTIR owns direct lighting at this vertex; flag lanes did_direct
+        # so the next bounce's emissive-hit MIS path stays suppressed.
+        did_direct = surface_lane
+        shadow_rays = jnp.int32(0)
+    elif cfg.use_direct_lighting and cfg.use_mis and scene.num_lights > 0:
         p_draw, seed = rng.rnd_masked(seed, surface_lane)
         do_nee = surface_lane & (p_draw < p_sample_light)
 
@@ -397,7 +453,8 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig):
     # --- dielectric transmission lanes (extension) ---
     if cfg.enable_transmission:
         (diel_dir, diel_tp, diel_ok, seed_diel) = _sample_dielectric(
-            ray_dir, world_nrm, front_facing, albedo, ior, transmission, seed,
+            ray_dir, world_nrm, surf.front_facing, albedo, ior, transmission,
+            seed,
             dielectric,
         )
         seed = jnp.where(dielectric, seed_diel, seed_surface)

@@ -15,21 +15,25 @@ no gathers, so a whole [N]-ray wavefront advances its RNG in one fused op.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 _U32 = jnp.uint32
 
+# Constants as NUMPY scalars: module-level jnp scalars would be device
+# arrays created at import time and embedded as device constants at every
+# lowering (a host->device fetch per compile).
 # TEA round constants (shaders/random.glsl:29-35).
-_TEA_DELTA = jnp.uint32(0x9E3779B9)
-_TEA_K0 = jnp.uint32(0xA341316C)
-_TEA_K1 = jnp.uint32(0xC8013EA4)
-_TEA_K2 = jnp.uint32(0xAD90777D)
-_TEA_K3 = jnp.uint32(0x7E95761E)
+_TEA_DELTA = np.uint32(0x9E3779B9)
+_TEA_K0 = np.uint32(0xA341316C)
+_TEA_K1 = np.uint32(0xC8013EA4)
+_TEA_K2 = np.uint32(0xAD90777D)
+_TEA_K3 = np.uint32(0x7E95761E)
 
 # Numerical Recipes LCG (shaders/random.glsl:41-47).
-_LCG_A = jnp.uint32(1664525)
-_LCG_C = jnp.uint32(1013904223)
-_MASK_24 = jnp.uint32(0x00FFFFFF)
-_INV_2_24 = jnp.float32(1.0 / float(0x01000000))
+_LCG_A = np.uint32(1664525)
+_LCG_C = np.uint32(1013904223)
+_MASK_24 = np.uint32(0x00FFFFFF)
+_INV_2_24 = np.float32(1.0 / float(0x01000000))
 
 
 def tea(val0, val1):

@@ -59,6 +59,16 @@ class SceneOnDevice:
     nodes_first: jax.Array  # i32[NN]
     nodes_count: jax.Array  # i32[NN]
 
+    # --- packed single-gather layouts for the hot traversal loop ---
+    # nodes_packed f32[NN,8]: min.xyz, max.xyz, bitcast(skip),
+    #   bitcast(meta) with meta = leaf block id for leaves, -1 for internal.
+    nodes_packed: jax.Array
+    # tris_packed f32[NB, LEAF, 12]: leaf-blocked v0.xyz, e1.xyz, e2.xyz,
+    #   bitcast(global tri index), bitcast(object), pad — ONE gather with [N]
+    #   block ids fetches whole leaves; padding rows are degenerate (never
+    #   intersect), so no count masking is needed in the hot loop.
+    tris_packed: jax.Array
+
     # --- materials SoA ---
     mat_albedo: jax.Array  # f32[M,3]
     mat_emission_color: jax.Array  # f32[M,3]
@@ -99,6 +109,44 @@ def _pad_rows(a: np.ndarray, total: int, fill=0.0) -> np.ndarray:
         return a
     pad_shape = (total - len(a),) + a.shape[1:]
     return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
+
+
+def _pack_traversal_arrays(bvh, v0, e1, e2, tri_object, leaf_size):
+    """Build the single-gather traversal layouts.
+
+    nodes_packed f32[NN,8] = min3, max3, bitcast(skip), bitcast(meta);
+    tris_packed  f32[NB,LEAF,12] = leaf-blocked triangles with the global
+    triangle index and object id bitcast into slots 9/10; padding rows are
+    degenerate (v0=e1=e2=0 -> det=0, never hit) with object id -1.
+    """
+    nn = bvh.num_nodes
+    is_leaf = bvh.nodes_count > 0
+    leaf_ids = np.cumsum(is_leaf) - 1  # block id per node (valid at leaves)
+    nb = max(1, int(is_leaf.sum()))
+
+    meta = np.where(is_leaf, leaf_ids, -1).astype(np.int32)
+    nodes_packed = np.zeros((nn, 8), np.float32)
+    nodes_packed[:, 0:3] = bvh.nodes_min
+    nodes_packed[:, 3:6] = bvh.nodes_max
+    nodes_packed[:, 6] = bvh.nodes_skip.view(np.float32)
+    nodes_packed[:, 7] = meta.view(np.float32)
+
+    tris_packed = np.zeros((nb, leaf_size, 12), np.float32)
+    if is_leaf.any():
+        lf = bvh.nodes_first[is_leaf].astype(np.int64)
+        lc = np.minimum(bvh.nodes_count[is_leaf], leaf_size).astype(np.int64)
+        idx = lf[:, None] + np.arange(leaf_size)
+        valid = np.arange(leaf_size)[None, :] < lc[:, None]
+        idxc = np.clip(idx, 0, len(v0) - 1)
+        vm = valid[..., None]
+        tris_packed[:, :, 0:3] = np.where(vm, v0[idxc], 0.0)
+        tris_packed[:, :, 3:6] = np.where(vm, e1[idxc], 0.0)
+        tris_packed[:, :, 6:9] = np.where(vm, e2[idxc], 0.0)
+        tri_idx = np.where(valid, idxc, 0).astype(np.int32)
+        obj_pad = np.where(valid, tri_object[idxc], -1).astype(np.int32)
+        tris_packed[:, :, 9] = tri_idx.view(np.float32)
+        tris_packed[:, :, 10] = obj_pad.view(np.float32)
+    return nodes_packed, tris_packed
 
 
 def bake_scene(scene: Scene, leaf_size: int = 8,
@@ -175,6 +223,11 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
     # --- pad to lane multiple with degenerate triangles ---
     t_pad = max(_PAD, ((num_tris + _PAD - 1) // _PAD) * _PAD)
 
+    # --- packed traversal layouts (see SceneOnDevice field docs) ---
+    nodes_packed, tris_packed = _pack_traversal_arrays(
+        bvh, v0p, e1p, e2p, tri_object_p, leaf_size
+    )
+
     materials = scene.materials
 
     def as_device(x):
@@ -194,6 +247,8 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
         nodes_skip=as_device(bvh.nodes_skip),
         nodes_first=as_device(bvh.nodes_first),
         nodes_count=as_device(bvh.nodes_count),
+        nodes_packed=as_device(nodes_packed),
+        tris_packed=as_device(tris_packed),
         mat_albedo=as_device(
             np.asarray([m.albedo for m in materials], np.float32)
         ),

@@ -42,3 +42,38 @@ def cornell_device_scene(cornell_scene):
 @pytest.fixture()
 def rng_np():
     return np.random.default_rng(seed=1234)
+
+
+def make_traversal_scene(v0, e1, e2, tri_object=None, leaf_size=8,
+                         builder=None):
+    """Build a minimal traversal-ready scene (BVH + packed layouts) from raw
+    triangles, for unit tests that bypass the full bake."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from raytracer_tpu.accel.bvh import build_bvh_numpy
+    from raytracer_tpu.scene.device_scene import _pack_traversal_arrays
+
+    if tri_object is None:
+        tri_object = np.arange(len(v0), dtype=np.int32)
+    bvh = (builder or build_bvh_numpy)(v0, e1, e2, leaf_size=leaf_size)
+    perm = bvh.tri_order
+    nodes_packed, tris_packed = _pack_traversal_arrays(
+        bvh, v0[perm], e1[perm], e2[perm], tri_object[perm], leaf_size
+    )
+    return SimpleNamespace(
+        bvh=bvh,
+        perm=perm,
+        tri_v0=jnp.asarray(v0[perm]),
+        tri_e1=jnp.asarray(e1[perm]),
+        tri_e2=jnp.asarray(e2[perm]),
+        tri_object=jnp.asarray(tri_object[perm]),
+        nodes_min=jnp.asarray(bvh.nodes_min),
+        nodes_max=jnp.asarray(bvh.nodes_max),
+        nodes_skip=jnp.asarray(bvh.nodes_skip),
+        nodes_first=jnp.asarray(bvh.nodes_first),
+        nodes_count=jnp.asarray(bvh.nodes_count),
+        nodes_packed=jnp.asarray(nodes_packed),
+        tris_packed=jnp.asarray(tris_packed),
+    )

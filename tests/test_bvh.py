@@ -86,26 +86,16 @@ def test_native_matches_numpy_hit_results(rng_np):
     d = rng_np.normal(size=(r, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
 
+    from tests.conftest import make_traversal_scene
+
     results = []
     for builder in (build_bvh_numpy, native_builder.build_bvh_native):
-        bvh = builder(v0, e1, e2, leaf_size=8)
-        perm = bvh.tri_order
-
-        class S:
-            tri_v0 = jnp.asarray(v0[perm])
-            tri_e1 = jnp.asarray(e1[perm])
-            tri_e2 = jnp.asarray(e2[perm])
-            nodes_min = jnp.asarray(bvh.nodes_min)
-            nodes_max = jnp.asarray(bvh.nodes_max)
-            nodes_skip = jnp.asarray(bvh.nodes_skip)
-            nodes_first = jnp.asarray(bvh.nodes_first)
-            nodes_count = jnp.asarray(bvh.nodes_count)
-
-        rec = intersect_bvh(jnp.asarray(o), jnp.asarray(d), S, 1e-3, 1e4,
-                            leaf_size=8)
+        scene = make_traversal_scene(v0, e1, e2, leaf_size=8, builder=builder)
+        rec = intersect_bvh(jnp.asarray(o), jnp.asarray(d), scene, 1e-3, 1e4)
         # Map hit tri back to input order for comparison.
         tri_global = np.where(
-            np.asarray(rec.hit), perm[np.clip(np.asarray(rec.tri), 0, t - 1)],
+            np.asarray(rec.hit),
+            scene.perm[np.clip(np.asarray(rec.tri), 0, t - 1)],
             -1,
         )
         results.append((np.asarray(rec.hit), np.asarray(rec.t), tri_global))

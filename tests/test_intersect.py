@@ -85,33 +85,20 @@ def test_brute_force_matches_oracle(rng_np):
 
 
 def test_bvh_matches_brute(rng_np):
+    from tests.conftest import make_traversal_scene
     from raytracer_tpu.ops.traverse import intersect_bvh, occlusion_bvh
 
     t_count, r_count = 512, 256
     v0, e1, e2 = _random_tris(rng_np, t_count)
     o, d = _random_rays(rng_np, r_count)
 
-    bvh = build_bvh_numpy(v0, e1, e2, leaf_size=4)
-    perm = bvh.tri_order
-    assert sorted(perm.tolist()) == list(range(t_count))
+    scene = make_traversal_scene(v0, e1, e2, leaf_size=4)
+    assert sorted(scene.perm.tolist()) == list(range(t_count))
 
-    class FakeScene:
-        tri_v0 = jnp.asarray(v0[perm])
-        tri_e1 = jnp.asarray(e1[perm])
-        tri_e2 = jnp.asarray(e2[perm])
-        tri_object = jnp.asarray(np.arange(t_count, dtype=np.int32)[perm])
-        nodes_min = jnp.asarray(bvh.nodes_min)
-        nodes_max = jnp.asarray(bvh.nodes_max)
-        nodes_skip = jnp.asarray(bvh.nodes_skip)
-        nodes_first = jnp.asarray(bvh.nodes_first)
-        nodes_count = jnp.asarray(bvh.nodes_count)
-
-    rec_bvh = intersect_bvh(
-        jnp.asarray(o), jnp.asarray(d), FakeScene, 1e-3, 1e4, leaf_size=4
-    )
+    rec_bvh = intersect_bvh(jnp.asarray(o), jnp.asarray(d), scene, 1e-3, 1e4)
     rec_brute = intersect_brute(
         jnp.asarray(o), jnp.asarray(d),
-        FakeScene.tri_v0, FakeScene.tri_e1, FakeScene.tri_e2,
+        scene.tri_v0, scene.tri_e1, scene.tri_e2,
         1e-3, 1e4, chunk_size=64,
     )
     np.testing.assert_array_equal(
@@ -127,37 +114,29 @@ def test_bvh_matches_brute(rng_np):
     skip = jnp.full((r_count,), -1, jnp.int32)
     occ = occlusion_bvh(
         jnp.asarray(o), jnp.asarray(d), 1e-3,
-        jnp.full((r_count,), 1e4, jnp.float32), FakeScene, skip, leaf_size=4,
+        jnp.full((r_count,), 1e4, jnp.float32), scene, skip,
     )
     np.testing.assert_array_equal(np.asarray(occ), hits)
 
 
 def test_bvh_skip_object_masking(rng_np):
+    from tests.conftest import make_traversal_scene
     from raytracer_tpu.ops.traverse import occlusion_bvh
 
     # Single triangle belonging to object 7; skipping it => unoccluded.
     v0 = np.asarray([[-1.0, -1.0, 1.0]], np.float32)
     e1 = np.asarray([[2.0, 0.0, 0.0]], np.float32)
     e2 = np.asarray([[0.0, 2.0, 0.0]], np.float32)
-    bvh = build_bvh_numpy(v0, e1, e2, leaf_size=4)
-
-    class FakeScene:
-        tri_v0 = jnp.asarray(v0)
-        tri_e1 = jnp.asarray(e1)
-        tri_e2 = jnp.asarray(e2)
-        tri_object = jnp.asarray([7], jnp.int32)
-        nodes_min = jnp.asarray(bvh.nodes_min)
-        nodes_max = jnp.asarray(bvh.nodes_max)
-        nodes_skip = jnp.asarray(bvh.nodes_skip)
-        nodes_first = jnp.asarray(bvh.nodes_first)
-        nodes_count = jnp.asarray(bvh.nodes_count)
+    scene = make_traversal_scene(
+        v0, e1, e2, tri_object=np.asarray([7], np.int32), leaf_size=4
+    )
 
     o = jnp.asarray([[0.0, 0.0, 0.0]])
     d = jnp.asarray([[0.0, 0.0, 1.0]])
     t_max = jnp.asarray([10.0])
-    occ = occlusion_bvh(o, d, 1e-3, t_max, FakeScene,
-                        jnp.asarray([7], jnp.int32), leaf_size=4)
+    occ = occlusion_bvh(o, d, 1e-3, t_max, scene,
+                        jnp.asarray([7], jnp.int32))
     assert not bool(occ[0])
-    occ = occlusion_bvh(o, d, 1e-3, t_max, FakeScene,
-                        jnp.asarray([3], jnp.int32), leaf_size=4)
+    occ = occlusion_bvh(o, d, 1e-3, t_max, scene,
+                        jnp.asarray([3], jnp.int32))
     assert bool(occ[0])

@@ -1,0 +1,115 @@
+"""ReSTIR DI: reservoir math units + convergence vs the NEE path tracer."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytracer_tpu.integrator.restir import Reservoir, _finalize, _reservoir_update
+from raytracer_tpu.utils.config import RenderConfig
+
+
+def test_empty_reservoir_matches_struct_defaults():
+    r = Reservoir.empty(4)
+    assert float(r.weight_sum.sum()) == 0.0
+    assert (np.asarray(r.light_index) == -1).all()
+    assert float(r.w.sum()) == 0.0
+
+
+def test_reservoir_update_selects_by_weight():
+    r = Reservoir.empty(2)
+    # First candidate always selected when weight > 0 (r*wsum <= w).
+    r = _reservoir_update(
+        r,
+        cand_light=jnp.asarray([3, 5], jnp.int32),
+        cand_uv=jnp.zeros((2, 2)),
+        cand_dist=jnp.asarray([1.0, 2.0]),
+        cand_target=jnp.asarray([0.5, 0.0]),
+        cand_weight=jnp.asarray([2.0, 0.0]),
+        r=jnp.asarray([0.99, 0.0]),
+    )
+    assert int(r.light_index[0]) == 3
+    assert int(r.light_index[1]) == -1  # zero weight never selected
+    assert float(r.m[0]) == 1.0
+
+
+def test_finalize_weight():
+    r = Reservoir.empty(1)
+    r = r._replace(
+        weight_sum=jnp.asarray([6.0]),
+        target_pdf=jnp.asarray([2.0]),
+        m=jnp.asarray([3.0]),
+    )
+    out = _finalize(r)
+    assert abs(float(out.w[0]) - 1.0) < 1e-6  # 6/(3*2)
+
+
+def test_ris_unbiased_single_lane():
+    """RIS over M candidates of a two-'light' toy integrand: the estimator
+    <target>/p̂ * W must average to the true integral."""
+    import jax
+
+    from raytracer_tpu.ops import rng
+
+    # Toy: f(i) over {0: 1.0, 1: 3.0}, uniform source pdf 0.5.
+    f = jnp.asarray([1.0, 3.0])
+    true_sum = 4.0
+    n = 20000
+    seeds = rng.tea(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(9))
+    res = Reservoir.empty(n)
+    seed = seeds
+    for _ in range(4):
+        r_pick, seed = rng.rnd(seed)
+        r_keep, seed = rng.rnd(seed)
+        light = (r_pick < 0.5).astype(jnp.int32)
+        target = f[light]
+        w = target / 0.5
+        res = _reservoir_update(
+            res, light, jnp.zeros((n, 2)), jnp.ones(n), target, w, r_keep
+        )
+    res = _finalize(res)
+    est = f[jnp.clip(res.light_index, 0, 1)] * res.w
+    assert abs(float(jnp.mean(est)) - true_sum) < 0.1
+
+
+@pytest.mark.slow
+def test_restir_converges_to_nee_reference():
+    """Cornell box: ReSTIR accumulation must converge to the same image as
+    the plain NEE path tracer (both unbiased-ish; allow a loose SSIM/mean
+    tolerance at modest spp)."""
+    from raytracer_tpu.api import ProgressiveRenderer
+    from raytracer_tpu.scene.model import create_cornell_box
+    from raytracer_tpu.utils.image import ssim
+
+    spp = 48
+    base_cfg = RenderConfig(width=48, height=48)
+    img_nee = ProgressiveRenderer(
+        create_cornell_box(), None, base_cfg
+    ).render(spp)
+    img_restir = ProgressiveRenderer(
+        create_cornell_box(), None, base_cfg.replace(use_restir=True)
+    ).render(spp)
+
+    assert np.isfinite(img_restir).all()
+    # Means agree within 15% (both estimate the same radiance).
+    m1, m2 = img_nee.mean(), img_restir.mean()
+    assert abs(m1 - m2) / max(m1, 1e-6) < 0.15, (m1, m2)
+    score = ssim(
+        np.clip(img_nee, 0, 1).astype(np.float32),
+        np.clip(img_restir, 0, 1).astype(np.float32),
+        data_range=1.0,
+    )
+    assert score > 0.7, score
+
+
+def test_restir_reset_on_camera_move():
+    from raytracer_tpu.api import ProgressiveRenderer
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    cfg = RenderConfig(width=16, height=16, use_restir=True)
+    r = ProgressiveRenderer(create_cornell_box(), None, cfg)
+    r.step()
+    r.step()
+    assert float(jnp.max(r.reservoir.m)) > 0
+    r.camera.move((0.05, 0, 0))
+    r.step()
+    assert r.frame == 1
