@@ -48,7 +48,8 @@ def main():
     log(f"scene: {scene.num_triangles} tris, {len(scene.objects)} objects "
         f"({time.perf_counter() - t0:.1f}s)")
 
-    cfg = RenderConfig(width=WIDTH, height=HEIGHT, max_depth=3)
+    cfg = RenderConfig(width=WIDTH, height=HEIGHT, max_depth=3,
+                       accel="pallas")
     t0 = time.perf_counter()
     ds, bvh = bake_scene(scene, leaf_size=cfg.bvh_leaf_size)
     bake_s = time.perf_counter() - t0

@@ -390,6 +390,8 @@ def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
         prev_hit_pos=jnp.zeros((n, 3), jnp.float32),
         p_sample_light=jnp.zeros((n,), jnp.float32),
         did_direct=jnp.zeros((n,), bool),
+        channel=jnp.full((n,), -1, jnp.int32),
+        pixel=jnp.arange(n, dtype=jnp.int32),
     )
     clear_color = jnp.asarray(cfg.background, jnp.float32)
 
@@ -442,6 +444,8 @@ def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
     # --- indirect bounces (standard path tracing with NEE) ---
     def bounce(depth, carry):
         state, rays, shadows = carry
+        if cfg.accel == "pallas":
+            state = wf._sort_wavefront(state, scene)
         rr_lane = state.alive & (depth >= cfg.rr_start_depth)
         from raytracer_tpu.ops.math3d import luminance_rec709
 
@@ -482,7 +486,10 @@ def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
 
     final = jnp.minimum(state.color, cfg.radiance_clamp)
     invalid = jnp.any(jnp.isnan(final) | jnp.isinf(final), axis=-1)
-    return jnp.where(invalid[:, None], 0.0, final), reservoir
+    radiance = jnp.where(invalid[:, None], 0.0, final)
+    if cfg.accel == "pallas":
+        radiance = jnp.zeros_like(radiance).at[state.pixel].set(radiance)
+    return radiance, reservoir
 
 
 def render_frame_restir(scene, camera_ubo, accum, prev_reservoir,

@@ -58,11 +58,11 @@ def _node_step(scene, cur, origin, inv_d, t_min, best_t, nn):
     active = cur < nn
     hit_box = (t_near <= t_far) & active
 
-    is_leaf = meta >= 0
+    is_leaf = meta < 0  # meta = ~block for leaves, right-child for internal
     descend = hit_box & ~is_leaf
     nxt = jnp.where(descend, cur + 1, skip)
     cur = jnp.where(active, nxt, cur)
-    leaf = jnp.where(hit_box & is_leaf, meta, -1)
+    leaf = jnp.where(hit_box & is_leaf, ~meta, -1)
     return cur, leaf
 
 

@@ -61,13 +61,32 @@ class SceneOnDevice:
 
     # --- packed single-gather layouts for the hot traversal loop ---
     # nodes_packed f32[NN,8]: min.xyz, max.xyz, bitcast(skip),
-    #   bitcast(meta) with meta = leaf block id for leaves, -1 for internal.
+    #   bitcast(meta) with meta = ~leaf_block_id (< 0) for leaves and
+    #   meta = right-child index (>= 0) for internal nodes, serving both the
+    #   skip-link XLA walk and the stack-based Pallas packet kernel.
     nodes_packed: jax.Array
     # tris_packed f32[NB, LEAF, 12]: leaf-blocked v0.xyz, e1.xyz, e2.xyz,
     #   bitcast(global tri index), bitcast(object), pad — ONE gather with [N]
     #   block ids fetches whole leaves; padding rows are degenerate (never
     #   intersect), so no count masking is needed in the hot loop.
     tris_packed: jax.Array
+    # Pallas packet-kernel layouts (row-per-element: Mosaic allows dynamic
+    # SUBLANE indices but lane indices must be static; integer metadata is
+    # stored as exact small-integer f32 because scalar bitcasts are
+    # unsupported — see ops/pallas_traverse.py):
+    # pnodes f32[NI,16]: one row per INTERNAL node = left.min/max xyz,
+    #   right.min/max xyz, lane 12/13 = child metas as f32
+    #   (>=0: internal row index, <0: ~leaf_block).
+    # ptris f32[NB,96]: one row per leaf block = 8 x (v0, e1, e2, tri_f,
+    #   obj_f, pad), stride 12.
+    # root_meta i32[1]: the root's meta descriptor.
+    pnodes: jax.Array
+    ptris: jax.Array
+    root_meta: jax.Array
+
+    # World bounds (for Morton-code ray sorting between bounces).
+    scene_min: jax.Array  # f32[3]
+    scene_max: jax.Array  # f32[3]
 
     # --- materials SoA ---
     mat_albedo: jax.Array  # f32[M,3]
@@ -77,6 +96,7 @@ class SceneOnDevice:
     mat_metallic: jax.Array  # f32[M]
     mat_transmission: jax.Array  # f32[M]
     mat_ior: jax.Array  # f32[M]
+    mat_dispersion: jax.Array  # f32[M] (KHR_materials_dispersion)
 
     # --- lights (emissive objects) ---
     light_object: jax.Array  # i32[L]
@@ -124,7 +144,12 @@ def _pack_traversal_arrays(bvh, v0, e1, e2, tri_object, leaf_size):
     leaf_ids = np.cumsum(is_leaf) - 1  # block id per node (valid at leaves)
     nb = max(1, int(is_leaf.sum()))
 
-    meta = np.where(is_leaf, leaf_ids, -1).astype(np.int32)
+    # Internal node i's children in preorder: left = i+1, right = the end of
+    # the left subtree = skip[i+1].
+    right_child = np.zeros(nn, np.int32)
+    if nn > 1:
+        right_child[:-1] = bvh.nodes_skip[1:]
+    meta = np.where(is_leaf, ~leaf_ids, right_child).astype(np.int32)
     nodes_packed = np.zeros((nn, 8), np.float32)
     nodes_packed[:, 0:3] = bvh.nodes_min
     nodes_packed[:, 3:6] = bvh.nodes_max
@@ -147,6 +172,59 @@ def _pack_traversal_arrays(bvh, v0, e1, e2, tri_object, leaf_size):
         tris_packed[:, :, 9] = tri_idx.view(np.float32)
         tris_packed[:, :, 10] = obj_pad.view(np.float32)
     return nodes_packed, tris_packed
+
+
+def _pack_pallas_arrays(bvh, v0, e1, e2, tri_object, leaf_size):
+    """Row-per-element layouts for the Pallas packet kernel (see
+    SceneOnDevice field docs). Integer metadata is stored as exact
+    small-integer f32 (|v| < 2^24, asserted)."""
+    nn = bvh.num_nodes
+    is_leaf = bvh.nodes_count > 0
+    leaf_ids = (np.cumsum(is_leaf) - 1).astype(np.int64)
+    internal_ids = (np.cumsum(~is_leaf) - 1).astype(np.int64)
+    nb = max(1, int(is_leaf.sum()))
+    ni = max(1, int((~is_leaf).sum()))
+    assert nb < (1 << 24) and nn < (1 << 24) and len(v0) < (1 << 24)
+
+    def meta_of(node):
+        return ~leaf_ids[node] if is_leaf[node] else internal_ids[node]
+
+    pnodes = np.zeros((ni, 16), np.float32)
+    internal_nodes = np.nonzero(~is_leaf)[0]
+    if len(internal_nodes):
+        left = internal_nodes + 1
+        right = bvh.nodes_skip[left]  # end of left subtree = right child
+        rows = internal_ids[internal_nodes]
+        pnodes[rows, 0:3] = bvh.nodes_min[left]
+        pnodes[rows, 3:6] = bvh.nodes_max[left]
+        pnodes[rows, 6:9] = bvh.nodes_min[right]
+        pnodes[rows, 9:12] = bvh.nodes_max[right]
+        lmeta = np.where(is_leaf[left], ~leaf_ids[left], internal_ids[left])
+        rmeta = np.where(is_leaf[right], ~leaf_ids[right],
+                         internal_ids[right])
+        pnodes[rows, 12] = lmeta.astype(np.float32)
+        pnodes[rows, 13] = rmeta.astype(np.float32)
+
+    ptris = np.zeros((nb, 96), np.float32)
+    if is_leaf.any():
+        lf = bvh.nodes_first[is_leaf].astype(np.int64)
+        lc = np.minimum(bvh.nodes_count[is_leaf], leaf_size).astype(np.int64)
+        idx = lf[:, None] + np.arange(leaf_size)
+        valid = np.arange(leaf_size)[None, :] < lc[:, None]
+        idxc = np.clip(idx, 0, len(v0) - 1)
+        vm = valid[..., None]
+        blocks = np.zeros((nb, leaf_size, 12), np.float32)
+        blocks[:, :, 0:3] = np.where(vm, v0[idxc], 0.0)
+        blocks[:, :, 3:6] = np.where(vm, e1[idxc], 0.0)
+        blocks[:, :, 6:9] = np.where(vm, e2[idxc], 0.0)
+        blocks[:, :, 9] = np.where(valid, idxc, 0).astype(np.float32)
+        blocks[:, :, 10] = np.where(valid, tri_object[idxc], -1).astype(
+            np.float32
+        )
+        ptris = blocks.reshape(nb, leaf_size * 12)
+
+    root_meta = np.asarray([meta_of(0)], np.int32)
+    return pnodes, ptris, root_meta
 
 
 def bake_scene(scene: Scene, leaf_size: int = 8,
@@ -227,6 +305,9 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
     nodes_packed, tris_packed = _pack_traversal_arrays(
         bvh, v0p, e1p, e2p, tri_object_p, leaf_size
     )
+    pnodes, ptris, root_meta = _pack_pallas_arrays(
+        bvh, v0p, e1p, e2p, tri_object_p, leaf_size
+    )
 
     materials = scene.materials
 
@@ -249,6 +330,19 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
         nodes_count=as_device(bvh.nodes_count),
         nodes_packed=as_device(nodes_packed),
         tris_packed=as_device(tris_packed),
+        pnodes=as_device(pnodes),
+        ptris=as_device(ptris),
+        root_meta=as_device(root_meta),
+        scene_min=as_device(
+            np.minimum.reduce(
+                [v0.min(0), (v0 + e1).min(0), (v0 + e2).min(0)]
+            ).astype(np.float32)
+        ),
+        scene_max=as_device(
+            np.maximum.reduce(
+                [v0.max(0), (v0 + e1).max(0), (v0 + e2).max(0)]
+            ).astype(np.float32)
+        ),
         mat_albedo=as_device(
             np.asarray([m.albedo for m in materials], np.float32)
         ),
@@ -269,6 +363,9 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
         ),
         mat_ior=as_device(
             np.asarray([m.ior for m in materials], np.float32)
+        ),
+        mat_dispersion=as_device(
+            np.asarray([m.dispersion for m in materials], np.float32)
         ),
         light_object=as_device(
             np.asarray(light_object, np.int32).reshape(num_lights)
@@ -346,6 +443,9 @@ def update_materials(ds: SceneOnDevice, scene: Scene) -> SceneOnDevice:
             np.asarray([m.transmission for m in mats], np.float32)
         ),
         mat_ior=jax.device_put(np.asarray([m.ior for m in mats], np.float32)),
+        mat_dispersion=jax.device_put(
+            np.asarray([m.dispersion for m in mats], np.float32)
+        ),
         light_emission=jax.device_put(light_emission),
         light_power=jax.device_put(light_power),
     )

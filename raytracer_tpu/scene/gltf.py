@@ -181,6 +181,7 @@ def _material_from_gltf(mat: dict) -> Material:
         "transmissionFactor", 0.0
     )
     ior = ext.get("KHR_materials_ior", {}).get("ior", 1.5 if transmission > 0 else 1.0)
+    dispersion = ext.get("KHR_materials_dispersion", {}).get("dispersion", 0.0)
     return Material(
         name=mat.get("name", ""),
         albedo=albedo,
@@ -190,6 +191,7 @@ def _material_from_gltf(mat: dict) -> Material:
         metallic=float(metallic),
         transmission=float(transmission),
         ior=float(ior),
+        dispersion=float(dispersion),
     )
 
 

@@ -52,7 +52,9 @@ class SceneChange:
 @dataclasses.dataclass
 class Material:
     """scene.odin:66-70. transmission/ior are honored by the integrator here
-    (the reference declares them but its shaders never read them)."""
+    (the reference declares them but its shaders never read them).
+    `dispersion` (KHR_materials_dispersion: 20/Abbe-number) extends the data
+    model for BASELINE config 3's chromatic refraction."""
 
     name: str = ""
     albedo: Tuple[float, float, float] = (0.0, 0.0, 0.0)
@@ -62,6 +64,7 @@ class Material:
     metallic: float = 0.0
     transmission: float = 0.0
     ior: float = 1.0
+    dispersion: float = 0.0
 
 
 @dataclasses.dataclass

@@ -52,7 +52,10 @@ class RenderConfig:
     t_min: float = 0.001
     t_max: float = 10000.0
 
-    # Acceleration structure: "bvh" or "brute" (O(T) reference oracle).
+    # Acceleration structure:
+    #   "pallas" — packet-traversal Pallas kernel (TPU; interpret elsewhere)
+    #   "bvh"    — XLA gather-based lockstep walk (portable)
+    #   "brute"  — O(T) oracle
     accel: str = "bvh"
     bvh_leaf_size: int = 8
 
@@ -69,7 +72,7 @@ class RenderConfig:
             raise ValueError("width/height must be positive")
         if self.max_depth < 1:
             raise ValueError("max_depth must be >= 1")
-        if self.accel not in ("bvh", "brute"):
+        if self.accel not in ("pallas", "bvh", "brute"):
             raise ValueError(f"unknown accel {self.accel!r}")
 
     @property

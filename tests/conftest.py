@@ -53,13 +53,19 @@ def make_traversal_scene(v0, e1, e2, tri_object=None, leaf_size=8,
     import jax.numpy as jnp
 
     from raytracer_tpu.accel.bvh import build_bvh_numpy
-    from raytracer_tpu.scene.device_scene import _pack_traversal_arrays
+    from raytracer_tpu.scene.device_scene import (
+        _pack_pallas_arrays,
+        _pack_traversal_arrays,
+    )
 
     if tri_object is None:
         tri_object = np.arange(len(v0), dtype=np.int32)
     bvh = (builder or build_bvh_numpy)(v0, e1, e2, leaf_size=leaf_size)
     perm = bvh.tri_order
     nodes_packed, tris_packed = _pack_traversal_arrays(
+        bvh, v0[perm], e1[perm], e2[perm], tri_object[perm], leaf_size
+    )
+    pnodes, ptris, root_meta = _pack_pallas_arrays(
         bvh, v0[perm], e1[perm], e2[perm], tri_object[perm], leaf_size
     )
     return SimpleNamespace(
@@ -76,4 +82,13 @@ def make_traversal_scene(v0, e1, e2, tri_object=None, leaf_size=8,
         nodes_count=jnp.asarray(bvh.nodes_count),
         nodes_packed=jnp.asarray(nodes_packed),
         tris_packed=jnp.asarray(tris_packed),
+        pnodes=jnp.asarray(pnodes),
+        ptris=jnp.asarray(ptris),
+        root_meta=jnp.asarray(root_meta),
+        scene_min=jnp.asarray(
+            np.minimum.reduce([v0.min(0), (v0 + e1).min(0), (v0 + e2).min(0)])
+        ),
+        scene_max=jnp.asarray(
+            np.maximum.reduce([v0.max(0), (v0 + e1).max(0), (v0 + e2).max(0)])
+        ),
     )
