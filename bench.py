@@ -81,9 +81,9 @@ def main():
     t0 = time.perf_counter()
     for f in range(WARMUP_FRAMES, WARMUP_FRAMES + BENCH_FRAMES):
         rad, nrays = step(ds, ubo, jnp.uint32(f), cfg)
+        jax.block_until_ready(rad)  # honest per-frame timing (no deep queue)
         total_rays += int(nrays)
         log(f"frame {f}: {time.perf_counter() - t0:.1f}s cumulative")
-    jax.block_until_ready(rad)
     elapsed = time.perf_counter() - t0
 
     mrays = total_rays / elapsed / 1e6

@@ -279,28 +279,34 @@ class SurfaceHit(NamedTuple):
     emission_power: jnp.ndarray  # f32[N]
     transmission: jnp.ndarray  # f32[N]
     ior: jnp.ndarray  # f32[N]
+    dispersion: jnp.ndarray  # f32[N]
 
 
 def fetch_surface(scene, hit, ray_dir, lane) -> SurfaceHit:
-    """Barycentric interpolation of the hit triangle + material lookup."""
-    t_count = scene.tri_v0.shape[0]
+    """Barycentric interpolation of the hit triangle + material lookup.
+
+    TWO gathers total: XLA gathers are row-throughput-bound (~40-80M rows/s
+    on v5e), so triangle shading data and materials are packed into single
+    rows at bake (tri_shade f32[T,24], mat_packed f32[M,16])."""
+    t_count = scene.tri_shade.shape[0]
     ti = jnp.clip(hit.tri, 0, t_count - 1)
-    v0 = scene.tri_v0[ti]
-    e1 = scene.tri_e1[ti]
-    e2 = scene.tri_e2[ti]
+    row = scene.tri_shade[ti]  # [N,24] — gather 1
+    v0 = row[:, 0:3]
+    e1 = row[:, 3:6]
+    e2 = row[:, 6:9]
     bary_u = hit.u[:, None]
     bary_v = hit.v[:, None]
     world_pos = v0 + bary_u * e1 + bary_v * e2
     bw = 1.0 - bary_u - bary_v
     n_interp = (
-        bw * scene.tri_n0[ti] + bary_u * scene.tri_n1[ti]
-        + bary_v * scene.tri_n2[ti]
+        bw * row[:, 9:12] + bary_u * row[:, 12:15] + bary_v * row[:, 15:18]
     )
     world_nrm = normalize(n_interp)
     front_facing = dot(world_nrm, -ray_dir) > 0.0
     world_nrm = jnp.where(front_facing[:, None], world_nrm, -world_nrm)
-    obj = jnp.where(lane, scene.tri_object[ti], 0)
-    mat = jnp.where(lane, scene.tri_material[ti], 0)
+    obj = jnp.where(lane, row[:, 18].astype(jnp.int32), 0)
+    mat = jnp.where(lane, row[:, 19].astype(jnp.int32), 0)
+    mrow = scene.mat_packed[mat]  # [N,16] — gather 2
     return SurfaceHit(
         world_pos=world_pos,
         world_nrm=world_nrm,
@@ -310,13 +316,14 @@ def fetch_surface(scene, hit, ray_dir, lane) -> SurfaceHit:
         e2=e2,
         obj=obj,
         mat=mat,
-        albedo=scene.mat_albedo[mat],
-        roughness=scene.mat_roughness[mat],
-        metallic=scene.mat_metallic[mat],
-        emission_color=scene.mat_emission_color[mat],
-        emission_power=scene.mat_emission_power[mat],
-        transmission=scene.mat_transmission[mat],
-        ior=scene.mat_ior[mat],
+        albedo=mrow[:, 0:3],
+        roughness=mrow[:, 7],
+        metallic=mrow[:, 8],
+        emission_color=mrow[:, 3:6],
+        emission_power=mrow[:, 6],
+        transmission=mrow[:, 9],
+        ior=mrow[:, 10],
+        dispersion=mrow[:, 11],
     )
 
 
@@ -510,7 +517,7 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig,
 
     # --- dielectric transmission lanes (extension) ---
     if cfg.enable_transmission:
-        dispersion = scene.mat_dispersion[surf.mat]
+        dispersion = surf.dispersion
         (diel_dir, diel_tp, diel_ok, new_channel, seed_diel) = (
             _sample_dielectric(
                 ray_dir, world_nrm, surf.front_facing, albedo, ior,

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raytracer_tpu.ops.intersect import HitRecord
 
-TILE_S = 8
+TILE_S = 32
 TILE_L = 128
 TILE = TILE_S * TILE_L
 STACK_CAP = 128  # >= 2x max BVH depth; SAH trees of 300k tris are ~40 deep
@@ -119,12 +119,13 @@ def _visit_internal(pnodes_ref, stack_ref, sp, node_id,
     first). Writing to free slots is always safe; sp only advances past real
     pushes."""
     n = node_id
-    lmn = (pnodes_ref[n, 0], pnodes_ref[n, 1], pnodes_ref[n, 2])
-    lmx = (pnodes_ref[n, 3], pnodes_ref[n, 4], pnodes_ref[n, 5])
-    rmn = (pnodes_ref[n, 6], pnodes_ref[n, 7], pnodes_ref[n, 8])
-    rmx = (pnodes_ref[n, 9], pnodes_ref[n, 10], pnodes_ref[n, 11])
-    lmeta = pnodes_ref[n, 12].astype(jnp.int32)
-    rmeta = pnodes_ref[n, 13].astype(jnp.int32)
+    row = pnodes_ref[pl.ds(n, 1), :]  # one [1,16] vector load
+    lmn = (row[0, 0], row[0, 1], row[0, 2])
+    lmx = (row[0, 3], row[0, 4], row[0, 5])
+    rmn = (row[0, 6], row[0, 7], row[0, 8])
+    rmx = (row[0, 9], row[0, 10], row[0, 11])
+    lmeta = row[0, 12].astype(jnp.int32)
+    rmeta = row[0, 13].astype(jnp.int32)
 
     hit_l, tn_l = _slab(ox, oy, oz, ix, iy, iz, *lmn, *lmx, t_min, t_cap)
     hit_r, tn_r = _slab(ox, oy, oz, ix, iy, iz, *rmn, *rmx, t_min, t_cap)
