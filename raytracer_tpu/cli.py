@@ -19,7 +19,7 @@ from raytracer_tpu.api import ProgressiveRenderer
 from raytracer_tpu.ops.camera import Camera
 from raytracer_tpu.scene.loaders import load_scene
 from raytracer_tpu.utils.config import RenderConfig
-from raytracer_tpu.utils.image import write_png
+from raytracer_tpu.utils.image import write_image
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use ReSTIR DI for direct lighting")
     p.add_argument("--checkpoint", default=None,
                    help="save/resume accumulation state at this .npz path")
+    p.add_argument("--stats-every", type=int, default=0, metavar="N",
+                   help="print the stats table every N frames (the ImGui "
+                        "Performance-window analog)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -79,15 +82,23 @@ def main(argv=None) -> int:
             renderer.load_checkpoint(args.checkpoint)
             log.info("resumed at frame %d", renderer.frame)
 
+    from raytracer_tpu.utils.stats import RenderStats
+
+    stats = RenderStats()
+    stats.set_scene_counts(scene)
     start = time.perf_counter()
     for i in range(renderer.frame, args.spp):
+        stats.frame_begin()
         renderer.step()
+        stats.frame_end()
         if args.verbose or (i + 1) % 16 == 0 or i == 0:
             elapsed = time.perf_counter() - start
             log.info("frame %d/%d (%.2f s)", i + 1, args.spp, elapsed)
+        if args.stats_every and (i + 1) % args.stats_every == 0:
+            print(stats.format_table())
     elapsed = time.perf_counter() - start
 
-    write_png(args.out, renderer.image())
+    write_image(args.out, renderer.image())
     log.info(
         "wrote %s: %d spp in %.2f s (%.2f spp/s, %d triangles)",
         args.out, renderer.frame, elapsed,

@@ -378,9 +378,14 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig,
         # so the next bounce's emissive-hit MIS path stays suppressed.
         did_direct = surface_lane
         shadow_rays = jnp.int32(0)
-    elif cfg.use_direct_lighting and cfg.use_mis and scene.num_lights > 0:
-        p_draw, seed = rng.rnd_masked(seed, surface_lane)
-        do_nee = surface_lane & (p_draw < p_sample_light)
+    elif cfg.use_direct_lighting and scene.num_lights > 0:
+        if cfg.use_mis:
+            # Stochastic NEE lottery (simple.rchit:621-623).
+            p_draw, seed = rng.rnd_masked(seed, surface_lane)
+            do_nee = surface_lane & (p_draw < p_sample_light)
+        else:
+            # USE_MIS=0 (simple.rchit:628-631): NEE every bounce, weight 1.
+            do_nee = surface_lane
 
         weights, total_w = _light_weights(scene, world_pos, obj, cfg)
         has_weight = total_w > 0.0
@@ -427,14 +432,21 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig,
         spec_pdf = brdf.microfacet_pdf(wo_local, h_local, roughness)
         diff_pdf = cos_theta(wi_local) / brdf.M_PI
         brdf_pdf = p_spec * spec_pdf + (1.0 - p_spec) * diff_pdf
-        weight = mis_weight_power(light_pdf, brdf_pdf)
+        if cfg.use_mis:
+            weight = mis_weight_power(light_pdf, brdf_pdf)
+        else:
+            weight = jnp.ones_like(light_pdf)  # evaluateLightMIS else-branch
 
         radiance = (
             brdf_val * l_emission
             * (cos_theta(wi_local) * weight
                / jnp.maximum(light_pdf, 1e-6))[:, None]
         )
-        contrib = throughput * radiance / p_sample_light[:, None]
+        if cfg.use_mis:
+            # Stochastic-NEE unbiasing divide (simple.rchit:625).
+            contrib = throughput * radiance / p_sample_light[:, None]
+        else:
+            contrib = throughput * radiance
         color = jnp.where(visible[:, None], color + contrib, color)
         did_direct = do_nee
         shadow_rays = jnp.sum((consider & (sr_dist > 0.0)).astype(jnp.int32))

@@ -97,6 +97,51 @@ class Camera:
         self.position = self.position + np.asarray(delta, np.float32)
         self.dirty = True
 
+    # -- fly-camera controller parity (camera_controller.odin + camera.odin)
+    SPEED = 5.0  # CAMERA_SPEED (camera.odin:7)
+    SENSITIVITY = 0.001  # CAMERA_SENSIVITY (camera.odin:8)
+
+    def move_direction(self, direction: str, delta_time: float):
+        """camera_move (camera.odin:111-132): WASD/Space/Shift movement.
+        direction in {forward, backwards, left, right, up, down}."""
+        vec = {
+            "forward": self.forward,
+            "backwards": -self.forward,
+            "right": self.right,
+            "left": -self.right,
+            "up": self.up,
+            "down": -self.up,
+        }[direction]
+        self.position = self.position + vec * (self.SPEED * delta_time)
+        self.dirty = True
+
+    def process_mouse(self, dx: float, dy: float):
+        """camera_process_mouse (camera.odin:87-109): RMB-drag look.
+        Rotates forward by -dy*sens around `right` (pitch) and -dx*sens
+        around world Y (yaw), then recomputes right."""
+
+        def axis_angle(axis, angle):
+            axis = np.asarray(axis, np.float64)
+            axis = axis / np.linalg.norm(axis)
+            c, s = np.cos(angle), np.sin(angle)
+            x, y, z = axis
+            return np.asarray([
+                [c + x * x * (1 - c), x * y * (1 - c) - z * s,
+                 x * z * (1 - c) + y * s],
+                [y * x * (1 - c) + z * s, c + y * y * (1 - c),
+                 y * z * (1 - c) - x * s],
+                [z * x * (1 - c) - y * s, z * y * (1 - c) + x * s,
+                 c + z * z * (1 - c)],
+            ])
+
+        pitch = axis_angle(self.right, -dy * self.SENSITIVITY)
+        yaw = axis_angle([0.0, 1.0, 0.0], -dx * self.SENSITIVITY)
+        rot = pitch @ yaw
+        f = rot @ self.forward.astype(np.float64)
+        self.forward = (f / np.linalg.norm(f)).astype(np.float32)
+        self.right = np.cross(self.forward, self.up)
+        self.dirty = True
+
     def on_resize(self, aspect):
         """camera_on_resize (camera.odin:69-72)."""
         self.aspect = float(aspect)

@@ -89,6 +89,10 @@ def load_scene(path: str) -> Scene:
         scene = load_scene_from_json(path)
     elif ext in (".gltf", ".glb"):
         scene = load_scene_from_gltf(path)
+    elif ext == ".obj":
+        from raytracer_tpu.scene.obj import load_scene_from_obj
+
+        scene = load_scene_from_obj(path)
     else:
         raise SceneLoadError(f"unsupported scene file type: {path}")
     log.info(

@@ -35,6 +35,44 @@ def read_png(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
+def write_ppm(path: str, image: np.ndarray):
+    """Binary P6 PPM dump — the reference's render-dump format
+    (.gitignore:7 ignores *.ppm)."""
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = tonemap(arr)
+    h, w = arr.shape[:2]
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(arr.tobytes())
+
+
+def read_ppm(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        data = f.read()
+    # Header: magic, whitespace-separated w h maxval, single whitespace.
+    parts = data.split(maxsplit=4)
+    assert parts[0] == b"P6", "only binary P6 PPM supported"
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    assert maxval == 255
+    pixels = parts[4][: w * h * 3]
+    return np.frombuffer(pixels, np.uint8).reshape(h, w, 3)
+
+
+def write_image(path: str, image: np.ndarray):
+    """Dispatch on extension (.png or .ppm)."""
+    if path.lower().endswith(".ppm"):
+        write_ppm(path, image)
+    else:
+        write_png(path, image)
+
+
+def read_image(path: str) -> np.ndarray:
+    if path.lower().endswith(".ppm"):
+        return read_ppm(path)
+    return read_png(path)
+
+
 def _box_filter(img: np.ndarray, win: int) -> np.ndarray:
     """Mean filter with a win x win window, 'valid' region only, via 2-D
     cumulative sums. img: f64[H,W]."""
