@@ -289,7 +289,7 @@ _SMEM1 = pl.BlockSpec(memory_space=pltpu.SMEM)
 # giant call over a 1080p wavefront OOMs; groups of <=256 tiles keep the
 # footprint ~6 MB and lax.map serializes the groups (the grid is serial
 # per-core anyway).
-GROUP_TILES = 256
+GROUP_TILES = 512
 
 
 def _run_closest_group(ox, oy, oz, dx, dy, dz, tmax, root, pnodes, ptris,
