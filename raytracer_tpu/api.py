@@ -58,9 +58,9 @@ class ProgressiveRenderer:
             position=(0.0, 0.0, -3.0),
             aspect=self.config.width / self.config.height,
         )
-        self.device_scene: SceneOnDevice = bake_scene(
+        self.device_scene, self._host_bvh = bake_scene(
             scene, leaf_size=self.config.bvh_leaf_size
-        )[0]
+        )
         # The bake consumed the scene's current state: construction-time
         # journal entries are already reflected and must not trigger a
         # replay/reset on the first begin_frame.
@@ -85,16 +85,26 @@ class ProgressiveRenderer:
         changes = self.scene.drain_changes()
         if not changes:
             return False
-        if all(
-            c.type == SceneChangeType.MATERIAL_CHANGED for c in changes
-        ):
+        types = {c.type for c in changes}
+        if types == {SceneChangeType.MATERIAL_CHANGED}:
             self.device_scene = update_materials(self.device_scene, self.scene)
+        elif types <= {
+            SceneChangeType.OBJECT_TRANSFORM_CHANGED,
+            SceneChangeType.MATERIAL_CHANGED,
+        }:
+            # Transform edits keep the triangle count: refit the existing
+            # tree topology (TLAS UPDATE mode, gpu_scene.odin:457-482)
+            # instead of a full SAH rebuild.
+            self.device_scene, self._host_bvh = bake_scene(
+                self.scene, leaf_size=self.config.bvh_leaf_size,
+                reuse_bvh=self._host_bvh,
+            )
         else:
-            # Geometry/topology changed: full re-bake (the reference's
-            # add/remove path also recompiles, gpu_scene.odin:430-455).
-            self.device_scene = bake_scene(
+            # Topology changed: full re-bake (the reference's add/remove
+            # path also recompiles, gpu_scene.odin:430-455).
+            self.device_scene, self._host_bvh = bake_scene(
                 self.scene, leaf_size=self.config.bvh_leaf_size
-            )[0]
+            )
         return True
 
     def begin_frame(self):

@@ -698,7 +698,14 @@ def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
     def bounce(depth, carry):
         state, rays_traced, shadow_total = carry
         if cfg.accel == "pallas":
-            state = _sort_wavefront(state, scene)
+            # Primary rays (depth 0) are raster-ordered already; sorting
+            # only pays for itself on bounce wavefronts.
+            state = jax.lax.cond(
+                depth > 0,
+                lambda s: _sort_wavefront(s, scene),
+                lambda s: s,
+                state,
+            )
         # Russian roulette (simple.rgen:55-68,88-90).
         rr_lane = state.alive & (depth >= cfg.rr_start_depth)
         lum = luminance_rec709(state.throughput)

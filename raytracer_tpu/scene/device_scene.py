@@ -266,12 +266,19 @@ def _pack_pallas_arrays(bvh, v0, e1, e2, tri_object, leaf_size):
 
 
 def bake_scene(scene: Scene, leaf_size: int = 8,
-               device_put: bool = True) -> Tuple[SceneOnDevice, BVH]:
+               device_put: bool = True,
+               reuse_bvh: BVH = None) -> Tuple[SceneOnDevice, BVH]:
     """Flatten + world-transform + BVH-build a CPU Scene.
 
     The analog of gpu_scene_init/bake (gpu_scene.odin:45,77-118). Returns
-    (device_scene, host_bvh); the host BVH is kept for refit on transform
-    edits (gpu_scene.odin:457-482 semantics).
+    (device_scene, host_bvh).
+
+    `reuse_bvh`: the TLAS UPDATE-mode path (gpu_scene.odin:457-482 /
+    cmd_create_tlas refit) — keep the previous bake's tree TOPOLOGY
+    (tri_order, links) and only recompute node AABBs bottom-up for the
+    re-transformed triangles. Valid when the triangle COUNT and ordering
+    basis are unchanged (transform edits); quality degrades under large
+    motion exactly like a driver refit.
     """
     if not scene.objects:
         raise ValueError("cannot bake an empty scene")
@@ -329,8 +336,16 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
     num_lights = len(light_object)
 
     # --- BVH over world triangles, then permute triangle arrays ---
-    bvh = build_bvh(v0, e1, e2, leaf_size=leaf_size)
-    perm = bvh.tri_order
+    if reuse_bvh is not None:
+        assert len(reuse_bvh.tri_order) == num_tris, (
+            "refit requires an unchanged triangle count"
+        )
+        bvh = reuse_bvh
+        perm = bvh.tri_order
+        bvh.refit(v0[perm], e1[perm], e2[perm])
+    else:
+        bvh = build_bvh(v0, e1, e2, leaf_size=leaf_size)
+        perm = bvh.tri_order
     v0p, e1p, e2p = v0[perm], e1[perm], e2[perm]
     n0p, n1p, n2p = n0[perm], n1[perm], n2[perm]
     tri_object_p = tri_object[perm]

@@ -169,3 +169,56 @@ def test_background_miss_color():
     img = render(scene, None, cfg, num_frames=1)
     corner = img[0, 0]
     np.testing.assert_allclose(corner, [0.2, 0.4, 0.6], atol=1e-5)
+
+
+def test_transform_edit_uses_refit_and_changes_image():
+    """Transform edits take the TLAS-UPDATE (refit) path: the host BVH
+    topology is reused and the image reflects the move."""
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    cfg = RenderConfig(width=24, height=24)
+    scene = create_cornell_box()
+    r = ProgressiveRenderer(scene, None, cfg)
+    bvh_before = r._host_bvh
+    r.step()
+    before = r.image().copy()
+    scene.update_object_position(6, (0.5, 1.5, -1.0))  # move Metal Sphere
+    r.step()
+    assert r.frame == 1  # accumulation reset
+    assert r._host_bvh is bvh_before  # topology reused (refit, not rebuild)
+    after = r.image()
+    assert np.abs(after - before).max() > 1e-3
+
+
+def test_refit_render_matches_fresh_build():
+    """A refit bake must produce the same image as a fresh SAH build for
+    the same scene state (different tree, identical hits)."""
+    from raytracer_tpu.scene.device_scene import bake_scene
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    cfg = RenderConfig(width=24, height=24)
+    scene = create_cornell_box()
+    _, bvh = bake_scene(scene)
+    scene.objects[6].transform.position = (0.4, 1.2, -0.8)
+    scene.objects[6].transform.update_matrices()
+
+    r_fresh = ProgressiveRenderer(create_cornell_box(), None, cfg)
+    r_fresh.scene.update_object_position(6, (0.4, 1.2, -0.8))
+
+    ds_refit, _ = bake_scene(scene, reuse_bvh=bvh)
+    ds_fresh, _ = bake_scene(scene)
+
+    import jax.numpy as jnp
+
+    from raytracer_tpu.integrator.wavefront import render_wavefront
+    from raytracer_tpu.ops.camera import Camera
+
+    cam = Camera.create(position=(0, 0, -3), aspect=1.0)
+    mats = cam.matrices()
+    ubo = {
+        "inverse_view": jnp.asarray(mats["inverse_view"]),
+        "inverse_proj": jnp.asarray(mats["inverse_proj"]),
+    }
+    a = np.asarray(render_wavefront(ds_refit, ubo, jnp.uint32(1), cfg))
+    b = np.asarray(render_wavefront(ds_fresh, ubo, jnp.uint32(1), cfg))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
