@@ -53,7 +53,7 @@ class ProgressiveRenderer:
     def __init__(self, scene: Scene, camera: Optional[Camera] = None,
                  config: Optional[RenderConfig] = None):
         self.scene = scene
-        self.config = config or RenderConfig()
+        self.config = (config or RenderConfig()).resolve_accel()
         self.camera = camera or Camera.create(
             position=(0.0, 0.0, -3.0),
             aspect=self.config.width / self.config.height,

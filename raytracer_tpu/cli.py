@@ -37,8 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-depth", type=int, default=3)
     p.add_argument("--background", type=float, nargs=3,
                    default=(0.53, 0.81, 0.92))
-    p.add_argument("--accel", choices=("pallas", "bvh", "brute"),
-                   default="bvh")
+    p.add_argument("--accel", choices=("auto", "pallas", "bvh", "brute"),
+                   default="auto")
     p.add_argument("--no-transmission", action="store_true")
     p.add_argument("--restir", action="store_true",
                    help="use ReSTIR DI for direct lighting")

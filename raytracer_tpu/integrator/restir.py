@@ -357,6 +357,7 @@ def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
     simple.rchit's firstBounce path) and normally afterwards."""
     from raytracer_tpu.integrator import wavefront as wf
 
+    cfg = cfg.resolve_accel()
     n = cfg.num_pixels
     pixel_idx = jnp.arange(n, dtype=jnp.uint32)
     frame_u32 = jnp.asarray(frame_number, jnp.uint32)

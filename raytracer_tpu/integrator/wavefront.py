@@ -651,6 +651,7 @@ def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
     `pixel_start`/`num_pixels` carve out a tile for multi-chip sharding
     (parallel/sharding.py): seeds and camera rays use GLOBAL pixel indices so
     a sharded render is bit-identical to a single-chip one."""
+    cfg = cfg.resolve_accel()
     n = cfg.num_pixels if num_pixels is None else num_pixels
     pixel_idx = (
         jnp.asarray(pixel_start, jnp.uint32) + jnp.arange(n, dtype=jnp.uint32)

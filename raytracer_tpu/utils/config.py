@@ -53,10 +53,11 @@ class RenderConfig:
     t_max: float = 10000.0
 
     # Acceleration structure:
+    #   "auto"   — "pallas" on a TPU backend, "bvh" elsewhere
     #   "pallas" — packet-traversal Pallas kernel (TPU; interpret elsewhere)
     #   "bvh"    — XLA gather-based lockstep walk (portable)
     #   "brute"  — O(T) oracle
-    accel: str = "bvh"
+    accel: str = "auto"
     bvh_leaf_size: int = 8
 
     # ReSTIR DI (BASELINE config 5). Off = plain NEE/MIS per the reference's
@@ -72,7 +73,7 @@ class RenderConfig:
             raise ValueError("width/height must be positive")
         if self.max_depth < 1:
             raise ValueError("max_depth must be >= 1")
-        if self.accel not in ("pallas", "bvh", "brute"):
+        if self.accel not in ("auto", "pallas", "bvh", "brute"):
             raise ValueError(f"unknown accel {self.accel!r}")
 
     @property
@@ -81,3 +82,12 @@ class RenderConfig:
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
+
+    def resolve_accel(self) -> "RenderConfig":
+        """Pin accel="auto" to a concrete backend choice (pallas on TPU)."""
+        if self.accel != "auto":
+            return self
+        import jax
+
+        choice = "pallas" if jax.default_backend() == "tpu" else "bvh"
+        return self.replace(accel=choice)
