@@ -146,7 +146,8 @@ def _visit_internal(pnodes_ref, stack_ref, sp, node_id,
     return sp
 
 
-def _closest_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+def _closest_kernel(leaf_size,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     tmax_ref, root_ref, pnodes_ref, ptris_ref,
                     t_ref, tri_ref, u_ref, v_ref, stack_ref):
     ox = ox_ref[0]
@@ -168,7 +169,7 @@ def _closest_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         btri = tri_ref[0]
         bu = u_ref[0]
         bv = v_ref[0]
-        for k in range(LEAF):
+        for k in range(leaf_size):
             tv = [ptris_ref[block, k * TRI_STRIDE + c] for c in range(9)]
             t, u, v, valid = _moller_scalar_tri(
                 tv, ox, oy, oz, dx, dy, dz, t_min, bt
@@ -205,7 +206,8 @@ def _closest_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     jax.lax.while_loop(lambda sp: sp > 0, body, 1)
 
 
-def _occlusion_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+def _occlusion_kernel(leaf_size,
+                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tmax_ref, skip_obj_ref, root_ref, pnodes_ref,
                       ptris_ref, occ_ref, stack_ref):
     ox = ox_ref[0]
@@ -223,7 +225,7 @@ def _occlusion_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
     def leaf_fn(block):
         occ = occ_ref[0]
-        for k in range(LEAF):
+        for k in range(leaf_size):
             tv = [ptris_ref[block, k * TRI_STRIDE + c] for c in range(9)]
             _, _, _, valid = _moller_scalar_tri(
                 tv, ox, oy, oz, dx, dy, dz, t_min, t_max
@@ -301,8 +303,9 @@ def _run_closest_group(ox, oy, oz, dx, dy, dz, tmax, root, pnodes, ptris,
         jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.float32),
     ]
+    leaf_size = ptris.shape[1] // TRI_STRIDE
     return pl.pallas_call(
-        _closest_kernel,
+        functools.partial(_closest_kernel, leaf_size),
         grid=(n_tiles,),
         in_specs=[_RAY_SPEC] * 7 + [_SMEM1, _FULL, _FULL],
         out_specs=[_RAY_SPEC] * 4,
@@ -356,8 +359,9 @@ def _run_closest(ox, oy, oz, dx, dy, dz, tmax, root, pnodes, ptris,
 def _run_occlusion_group(ox, oy, oz, dx, dy, dz, tmax, skip_obj, root,
                          pnodes, ptris, interpret):
     n_tiles = ox.shape[0]
+    leaf_size = ptris.shape[1] // TRI_STRIDE
     return pl.pallas_call(
-        _occlusion_kernel,
+        functools.partial(_occlusion_kernel, leaf_size),
         grid=(n_tiles,),
         in_specs=[_RAY_SPEC] * 8 + [_SMEM1, _FULL, _FULL],
         out_specs=[_RAY_SPEC],

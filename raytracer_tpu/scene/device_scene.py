@@ -243,7 +243,7 @@ def _pack_pallas_arrays(bvh, v0, e1, e2, tri_object, leaf_size):
         pnodes[rows, 12] = lmeta.astype(np.float32)
         pnodes[rows, 13] = rmeta.astype(np.float32)
 
-    ptris = np.zeros((nb, 96), np.float32)
+    ptris = np.zeros((nb, leaf_size * 12), np.float32)
     if is_leaf.any():
         lf = bvh.nodes_first[is_leaf].astype(np.int64)
         lc = np.minimum(bvh.nodes_count[is_leaf], leaf_size).astype(np.int64)
