@@ -16,8 +16,9 @@ Data (built by scene/device_scene._pack_pallas_arrays):
   pnodes f32[NI, 16] — one row per INTERNAL node: left.min/max xyz,
       right.min/max xyz (lanes 0-11), lane 12/13 = left/right child meta as
       f32 (meta >= 0: internal node row index; meta < 0: ~leaf_block).
-  ptris  f32[NB, 96] — one row per leaf block: 8 triangles x (v0, e1, e2,
-      tri_index_f, object_f, pad) stride 12; padding tris are degenerate.
+  ptris  f32[NB, leaf_size*12] — one row per leaf block: leaf_size
+      triangles x (v0, e1, e2, tri_index_f, object_f, pad) stride 12;
+      padding tris are degenerate.
 
 Kernel per 1024-ray tile (one traversal shared by the packet):
   - SMEM stack of child metas; pop -> one node row -> BOTH child AABBs slab-

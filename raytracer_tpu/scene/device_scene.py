@@ -77,8 +77,9 @@ class SceneOnDevice:
     # pnodes f32[NI,16]: one row per INTERNAL node = left.min/max xyz,
     #   right.min/max xyz, lane 12/13 = child metas as f32
     #   (>=0: internal row index, <0: ~leaf_block).
-    # ptris f32[NB,96]: one row per leaf block = 8 x (v0, e1, e2, tri_f,
-    #   obj_f, pad), stride 12.
+    # ptris f32[NB, leaf_size*12]: one row per leaf block = leaf_size x
+    #   (v0, e1, e2, tri_f, obj_f, pad), stride 12 (96 lanes at the default
+    #   leaf size of 8).
     # root_meta i32[1]: the root's meta descriptor.
     pnodes: jax.Array
     ptris: jax.Array
