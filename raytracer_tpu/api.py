@@ -33,6 +33,10 @@ from raytracer_tpu.scene.device_scene import (
 from raytracer_tpu.scene.model import Scene, SceneChangeType
 from raytracer_tpu.utils.config import RenderConfig
 
+# Scene-array VMEM budget for the packet kernel (v5e has 128 MB VMEM; the
+# rest is ray buffers + headroom). Larger scenes fall back to the XLA walk.
+PALLAS_VMEM_BUDGET = 90 * 1024 * 1024
+
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
 def _render_frame_jit(scene, camera_ubo, accum, frame_number, cfg):
@@ -61,6 +65,21 @@ class ProgressiveRenderer:
         self.device_scene, self._host_bvh = bake_scene(
             scene, leaf_size=self.config.bvh_leaf_size
         )
+        if (
+            self.config.accel == "pallas"
+            and self.device_scene.pallas_vmem_bytes > PALLAS_VMEM_BUDGET
+        ):
+            # The packet kernel keeps the whole BVH + triangles VMEM-resident
+            # (~112 MB budget incl. ray buffers); beyond that, fall back to
+            # the portable XLA walk instead of OOMing at compile time.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "scene too large for the VMEM-resident packet kernel "
+                "(%d MB); falling back to accel='bvh'",
+                self.device_scene.pallas_vmem_bytes >> 20,
+            )
+            self.config = self.config.replace(accel="bvh")
         # The bake consumed the scene's current state: construction-time
         # journal entries are already reflected and must not trigger a
         # replay/reset on the first begin_frame.

@@ -133,6 +133,12 @@ class SceneOnDevice:
     def num_nodes(self) -> int:
         return self.nodes_skip.shape[0]
 
+    @property
+    def pallas_vmem_bytes(self) -> int:
+        """VMEM footprint of the packet-kernel scene arrays (rows pad their
+        last dim to 128 lanes in VMEM)."""
+        return (self.pnodes.shape[0] + self.ptris.shape[0]) * 128 * 4
+
 
 def _pad_rows(a: np.ndarray, total: int, fill=0.0) -> np.ndarray:
     if len(a) == total:

@@ -170,3 +170,26 @@ def test_material_update_path(cornell_scene):
     # Geometry untouched (same arrays).
     assert ds2.tri_v0 is ds.tri_v0
     cornell_scene.drain_changes()
+
+
+def test_pallas_vmem_fallback():
+    """Scenes beyond the packet kernel's VMEM budget fall back to the XLA
+    walk instead of failing to compile."""
+    from raytracer_tpu.api import ProgressiveRenderer
+    from raytracer_tpu.scene.model import create_cornell_box
+    from raytracer_tpu.utils.config import RenderConfig
+
+    import raytracer_tpu.api as api
+
+    cfg = RenderConfig(width=8, height=8, accel="pallas")
+    r = ProgressiveRenderer(create_cornell_box(), None, cfg)
+    assert r.device_scene.pallas_vmem_bytes > 0
+    assert r.config.accel == "pallas"  # small scene keeps the kernel
+
+    old = api.PALLAS_VMEM_BUDGET
+    try:
+        api.PALLAS_VMEM_BUDGET = 0  # every scene is now "too big"
+        r2 = ProgressiveRenderer(create_cornell_box(), None, cfg)
+        assert r2.config.accel == "bvh"
+    finally:
+        api.PALLAS_VMEM_BUDGET = old

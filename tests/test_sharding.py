@@ -53,3 +53,18 @@ def test_indivisible_raises(mesh):
     cfg = RenderConfig(width=9, height=9)
     with pytest.raises(ValueError):
         ShardedProgressiveRenderer(create_cornell_box(), None, cfg, mesh=mesh)
+
+
+def test_sharded_pallas_matches_single(mesh):
+    """The packet kernel composes under shard_map (interpret on CPU; the
+    same composition drives real multi-chip pods)."""
+    from raytracer_tpu.api import ProgressiveRenderer
+    from raytracer_tpu.parallel.sharding import ShardedProgressiveRenderer
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    cfg = RenderConfig(width=16, height=16, accel="pallas")
+    sharded = ShardedProgressiveRenderer(
+        create_cornell_box(), None, cfg, mesh=mesh
+    ).render(1)
+    single = ProgressiveRenderer(create_cornell_box(), None, cfg).render(1)
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
