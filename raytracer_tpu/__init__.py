@@ -23,3 +23,20 @@ Layer map (mirrors SURVEY.md §7):
 __version__ = "0.1.0"
 
 from raytracer_tpu.utils.config import RenderConfig  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy re-exports: importing the package stays light (no jax tracing).
+    if name in ("render", "ProgressiveRenderer"):
+        import raytracer_tpu.api as api
+
+        return getattr(api, name)
+    if name == "Camera":
+        from raytracer_tpu.ops.camera import Camera
+
+        return Camera
+    if name == "load_scene":
+        from raytracer_tpu.scene.loaders import load_scene
+
+        return load_scene
+    raise AttributeError(name)

@@ -105,6 +105,11 @@ class ShardedProgressiveRenderer:
         self.mesh = mesh or make_pixel_mesh()
         self._inner = ProgressiveRenderer(scene, camera, config)
         cfg = self._inner.config
+        if cfg.use_restir:
+            raise NotImplementedError(
+                "ReSTIR's spatial reuse reads neighbor pixels across tile "
+                "boundaries; the sharded renderer does not support it yet"
+            )
         if cfg.num_pixels % self.mesh.size != 0:
             raise ValueError(
                 f"{cfg.width}x{cfg.height} pixels do not tile over "
