@@ -92,7 +92,10 @@ def test_json_loader_matches_builtin_cornell():
         "scenes/cornell_pbr.glb",
         "scenes/multi-dispersion.gltf",
         "models/conference.glb",
+        "models/conference_mirror_chairs.glb",
+        "models/conference_room_large_pbr.glb",
         "models/cornell_box/scene.gltf",
+        "models/cornell_box/scene_with_light.glb",
     ],
 )
 def test_gltf_loader(rel):
