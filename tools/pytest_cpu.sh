@@ -4,7 +4,8 @@
 # at interpreter start via sitecustomize, which can stall concurrent TPU
 # work). Usage: tools/pytest_cpu.sh [pytest args...]
 cd "$(dirname "$0")/.." || exit 1
+if [ $# -eq 0 ]; then set -- tests/ -q; fi
 exec env -u PALLAS_AXON_POOL_IPS \
     JAX_PLATFORMS=cpu \
     XLA_FLAGS="--xla_force_host_platform_device_count=8" \
-    python -m pytest "${@:-tests/ -q}"
+    python -m pytest "$@"
