@@ -54,6 +54,20 @@ class BVH:
     def num_nodes(self) -> int:
         return len(self.nodes_skip)
 
+    def max_depth(self) -> int:
+        """Deepest node's depth (root = 0). Binned SAH can emit highly skewed
+        trees on adversarial (clustered / exponentially spaced) input, so the
+        Pallas packet kernel's fixed traversal stack must be validated against
+        this at bake time, not assumed."""
+        p = self.parent.astype(np.int64)
+        depth = np.zeros(len(p), np.int64)
+        anc = p.copy()
+        while (anc >= 0).any():
+            live = anc >= 0
+            depth += live
+            anc = np.where(live, p[np.maximum(anc, 0)], -1)
+        return int(depth.max(initial=0))
+
     def refit(self, v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
         """Recompute AABBs bottom-up for updated (already reordered) triangle
         world positions — the analog of TLAS UPDATE-mode rebuild

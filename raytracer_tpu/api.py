@@ -65,21 +65,34 @@ class ProgressiveRenderer:
         self.device_scene, self._host_bvh = bake_scene(
             scene, leaf_size=self.config.bvh_leaf_size
         )
-        if (
-            self.config.accel == "pallas"
-            and self.device_scene.pallas_vmem_bytes > PALLAS_VMEM_BUDGET
-        ):
-            # The packet kernel keeps the whole BVH + triangles VMEM-resident
-            # (~112 MB budget incl. ray buffers); beyond that, fall back to
-            # the portable XLA walk instead of OOMing at compile time.
-            import logging
+        if self.config.accel == "pallas":
+            from raytracer_tpu.ops.pallas_traverse import stack_fits
 
-            logging.getLogger(__name__).warning(
-                "scene too large for the VMEM-resident packet kernel "
-                "(%d MB); falling back to accel='bvh'",
-                self.device_scene.pallas_vmem_bytes >> 20,
-            )
-            self.config = self.config.replace(accel="bvh")
+            reason = None
+            if self.device_scene.pallas_vmem_bytes > PALLAS_VMEM_BUDGET:
+                # The packet kernel keeps the whole BVH + triangles
+                # VMEM-resident (~112 MB budget incl. ray buffers); beyond
+                # that, fall back to the portable XLA walk instead of OOMing
+                # at compile time.
+                reason = (
+                    f"scene too large for the VMEM-resident packet kernel "
+                    f"({self.device_scene.pallas_vmem_bytes >> 20} MB)"
+                )
+            elif not stack_fits(self.device_scene.bvh_max_depth):
+                # Binned SAH can emit highly skewed trees on adversarial
+                # input; a tree deeper than the kernel's SMEM stack would
+                # silently corrupt traversal.
+                reason = (
+                    f"BVH depth {self.device_scene.bvh_max_depth} exceeds "
+                    "the packet kernel's traversal stack"
+                )
+            if reason is not None:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "%s; falling back to accel='bvh'", reason
+                )
+                self.config = self.config.replace(accel="bvh")
         # The bake consumed the scene's current state: construction-time
         # journal entries are already reflected and must not trigger a
         # replay/reset on the first begin_frame.

@@ -293,7 +293,19 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
     sr_dir = sr / jnp.maximum(sr_dist, 1e-20)[:, None]
     occ = occlusion_fn(offset_from, sr_dir, sr_dist * 0.999, light_obj,
                        valid & (sr_dist > 0.0))
-    res = res._replace(w=jnp.where(occ | ~valid, 0.0, res.w))
+    # Visibility reuse (Bitterli et al. 2020, Alg. 5): a killed reservoir must
+    # contribute nothing downstream. Zeroing only `w` is insufficient — the
+    # _finalize calls after temporal/spatial reuse recompute
+    # w = weight_sum/(M·p̂) from weight_sum, which would resurrect the occluded
+    # sample — so the sample payload itself is invalidated (M is kept, as the
+    # candidate count remains part of the RIS history).
+    killed = occ | ~valid
+    res = res._replace(
+        w=jnp.where(killed, 0.0, res.w),
+        weight_sum=jnp.where(killed, 0.0, res.weight_sum),
+        target_pdf=jnp.where(killed, 0.0, res.target_pdf),
+        light_index=jnp.where(killed, -1, res.light_index),
+    )
 
     # --- 4. temporal reuse ---
     if prev_reservoir is not None:
@@ -338,11 +350,24 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
     res = _finalize(res)
 
     # --- 6. shade the final sample ---
+    # A final visibility ray is still required: spatial reuse can import a
+    # neighbor's sample that was visible *there* but is occluded *here*, and
+    # the step-3 test only covered this pixel's own initial survivor.
     radiance, dist, lpos, wi, valid = _unshadowed_radiance(
         scene, gbuf, wo_world, res.light_index, res.uv, cfg
     )
+    light_obj = scene.light_object[jnp.clip(res.light_index, 0, l_used - 1)]
+    offset_from = gbuf.position + gbuf.normal * (
+        eps * jnp.sign(dot_k(gbuf.normal, wi))
+    )
+    sr = lpos - offset_from
+    sr_dist = length(sr)
+    sr_dir = sr / jnp.maximum(sr_dist, 1e-20)[:, None]
+    shadeable = valid & (res.w > 0.0)
+    occ_final = occlusion_fn(offset_from, sr_dir, sr_dist * 0.999, light_obj,
+                             shadeable & (sr_dist > 0.0))
     direct = radiance * res.w[:, None]
-    direct = jnp.where((valid & (res.w > 0.0))[:, None], direct, 0.0)
+    direct = jnp.where((shadeable & ~occ_final)[:, None], direct, 0.0)
     return direct, res
 
 

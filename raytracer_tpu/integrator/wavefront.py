@@ -91,8 +91,9 @@ class WavefrontState(NamedTuple):
 def _morton9(q):
     """Spread 9-bit ints so bits land 3 apart (for 3-axis interleave)."""
     q = q & 0x1FF
-    q = (q | (q << 8)) & 0x0100F00F
-    q = (q | (q << 4)) & 0x010C30C3
+    q = (q | (q << 16)) & 0x030000FF
+    q = (q | (q << 8)) & 0x0300F00F
+    q = (q | (q << 4)) & 0x030C30C3
     q = (q | (q << 2)) & 0x09249249
     return q
 

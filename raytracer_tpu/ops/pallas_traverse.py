@@ -61,6 +61,21 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def stack_fits(max_depth: int) -> bool:
+    """Whether a tree of this depth traverses within STACK_CAP. The DFS holds
+    at most one pending far-child per level plus the two pushes of the node
+    being expanded, so occupancy <= depth + 2."""
+    return max_depth + 2 <= STACK_CAP
+
+
+def _check_stack(scene):
+    assert stack_fits(scene.bvh_max_depth), (
+        f"BVH depth {scene.bvh_max_depth} exceeds the packet kernel's "
+        f"traversal stack (STACK_CAP={STACK_CAP}); use accel='bvh' "
+        "(ProgressiveRenderer falls back automatically)"
+    )
+
+
 def _inv_dir(d):
     return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
                            jnp.where(d >= 0, 1e-20, -1e-20), d)
@@ -396,6 +411,7 @@ def intersect_bvh_pallas(origin, direction, scene, t_min, t_max,
     ops/traverse.intersect_bvh (t_min fixed at 1e-3, the reference's
     traceRayEXT value — asserted)."""
     assert abs(t_min - 1e-3) < 1e-9, "packet kernel assumes t_min=1e-3"
+    _check_stack(scene)
     if interpret is None:
         interpret = _interpret_default()
     r = origin.shape[0]
@@ -421,6 +437,7 @@ def occlusion_bvh_pallas(origin, direction, t_min, t_max, scene, skip_object,
     """Any-hit via the packet kernel. Drop-in for
     ops/traverse.occlusion_bvh."""
     assert abs(t_min - 1e-3) < 1e-9
+    _check_stack(scene)
     if interpret is None:
         interpret = _interpret_default()
     r = origin.shape[0]

@@ -128,6 +128,12 @@ class SceneOnDevice:
     num_triangles: int = dataclasses.field(metadata=dict(static=True))
     num_lights: int = dataclasses.field(metadata=dict(static=True))
     num_objects: int = dataclasses.field(metadata=dict(static=True))
+    # Max BVH node depth (root=0). The Pallas packet kernel's SMEM stack
+    # holds at most depth+2 entries along any DFS; callers must check this
+    # against STACK_CAP instead of assuming balanced trees.
+    bvh_max_depth: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
 
     @property
     def num_nodes(self) -> int:
@@ -462,6 +468,7 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
         num_triangles=num_tris,
         num_lights=num_lights,
         num_objects=len(scene.objects),
+        bvh_max_depth=bvh.max_depth(),
     )
     return ds, bvh
 

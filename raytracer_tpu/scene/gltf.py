@@ -161,6 +161,39 @@ def _node_local_matrix(node: dict) -> np.ndarray:
     return m
 
 
+def _decompose_trs(world: np.ndarray):
+    """Decompose a shear-free 4x4 into (position, Euler-XYZ degrees, scale)
+    under the Transform contract M = T·Rx·Ry·Rz·S (scene.odin:213-224), so a
+    later edit that calls update_matrices rebuilds the same matrix instead of
+    reinterpreting raw quaternion components as degrees. Negative-determinant
+    matrices fold the reflection into scale.x. glTF TRS nodes are always
+    shear-free; for a (rare) sheared `matrix` node this is the closest
+    TRS approximation."""
+    import math
+
+    pos = world[:3, 3].astype(np.float64)
+    m = world[:3, :3].astype(np.float64)
+    scale = np.linalg.norm(m, axis=0)
+    scale = np.where(scale < 1e-12, 1e-12, scale)
+    if np.linalg.det(m) < 0:
+        scale[0] = -scale[0]
+    r = m / scale[None, :]
+    # R = Rx(a)·Ry(b)·Rz(c):  R[0,2]=sin b, R[1,2]=-sin a·cos b,
+    # R[2,2]=cos a·cos b, R[0,1]=-cos b·sin c, R[0,0]=cos b·cos c.
+    sb = float(np.clip(r[0, 2], -1.0, 1.0))
+    b = math.asin(sb)
+    if abs(sb) < 1.0 - 1e-9:
+        a = math.atan2(-r[1, 2], r[2, 2])
+        c = math.atan2(-r[0, 1], r[0, 0])
+    else:
+        # Gimbal lock (|cos b| = 0): only a±c is determined; pin c = 0.
+        # Row 1 becomes [sin(a±c), cos(a±c), 0] with + for b=+90°.
+        a = math.atan2(r[1, 0], r[1, 1]) * (1.0 if sb > 0 else -1.0)
+        c = 0.0
+    rot = tuple(math.degrees(v) for v in (a, b, c))
+    return tuple(float(x) for x in pos), rot, tuple(float(x) for x in scale)
+
+
 def _material_from_gltf(mat: dict) -> Material:
     """scene_loader.odin:80-99 + transmission/ior extensions."""
     albedo = (1.0, 1.0, 1.0)
@@ -258,10 +291,11 @@ def load_scene_from_gltf(path: str) -> Scene:
                     indices=idx,
                 )
             )
+            pos_t, rot_t, scale_t = _decompose_trs(world)
             transform = Transform(
-                position=tuple(node.get("translation", (0.0, 0.0, 0.0))),
-                rotation=tuple(node.get("rotation", (0.0, 0.0, 0.0))[:3]),
-                scale=tuple(node.get("scale", (1.0, 1.0, 1.0))),
+                position=pos_t,
+                rotation=rot_t,
+                scale=scale_t,
                 model_matrix=world,
                 normal_matrix=normal_matrix,
             )

@@ -85,6 +85,7 @@ def make_traversal_scene(v0, e1, e2, tri_object=None, leaf_size=8,
         pnodes=jnp.asarray(pnodes),
         ptris=jnp.asarray(ptris),
         root_meta=jnp.asarray(root_meta),
+        bvh_max_depth=bvh.max_depth(),
         scene_min=jnp.asarray(
             np.minimum.reduce([v0.min(0), (v0 + e1).min(0), (v0 + e2).min(0)])
         ),

@@ -129,3 +129,59 @@ def _check_invariants_after_refit(bvh, v0s, e1s, e2s):
         p = bvh.parent[i]
         assert (bvh.nodes_min[i] >= bvh.nodes_min[p] - 1e-4).all()
         assert (bvh.nodes_max[i] <= bvh.nodes_max[p] + 1e-4).all()
+
+
+def test_max_depth_matches_recursive_reference(rng_np):
+    """max_depth (vectorized ancestor walk) vs a direct per-node parent chase."""
+    v0, e1, e2 = _random_tris(rng_np, 300)
+    bvh = build_bvh_numpy(v0, e1, e2, leaf_size=4)
+
+    def depth_of(i):
+        d = 0
+        while bvh.parent[i] >= 0:
+            i = bvh.parent[i]
+            d += 1
+        return d
+
+    ref = max(depth_of(i) for i in range(bvh.num_nodes))
+    assert bvh.max_depth() == ref
+    assert ref >= 1
+
+
+def test_max_depth_single_leaf():
+    v0 = np.zeros((1, 3), np.float32)
+    e1 = np.asarray([[1, 0, 0]], np.float32)
+    e2 = np.asarray([[0, 1, 0]], np.float32)
+    assert build_bvh_numpy(v0, e1, e2, leaf_size=8).max_depth() == 0
+
+
+def test_pallas_guard_rejects_overdeep_tree():
+    """A scene whose BVH exceeds the kernel stack must be refused by the
+    packet kernel entry points (ProgressiveRenderer falls back to 'bvh';
+    direct callers get a loud assert, not silent SMEM corruption)."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from raytracer_tpu.ops.pallas_traverse import (
+        STACK_CAP,
+        intersect_bvh_pallas,
+        occlusion_bvh_pallas,
+        stack_fits,
+    )
+    from raytracer_tpu.scene.device_scene import bake_scene
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    assert stack_fits(STACK_CAP - 2) and not stack_fits(STACK_CAP - 1)
+
+    ds, bvh = bake_scene(create_cornell_box())
+    assert ds.bvh_max_depth == bvh.max_depth()
+    deep = dataclasses.replace(ds, bvh_max_depth=STACK_CAP + 10)
+    import jax.numpy as jnp
+
+    o = jnp.zeros((8, 3), jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (8, 1))
+    with _pytest.raises(AssertionError, match="traversal stack"):
+        intersect_bvh_pallas(o, d, deep, 1e-3, 1e4)
+    with _pytest.raises(AssertionError, match="traversal stack"):
+        occlusion_bvh_pallas(o, d, 1e-3, 1e4, deep, jnp.zeros(8, jnp.int32))

@@ -101,6 +101,62 @@ def test_restir_converges_to_nee_reference():
     assert score > 0.7, score
 
 
+def test_restir_visibility_kills_occluded_samples():
+    """Regression: occlusion must actually remove energy. Previously only
+    res.w was zeroed and the _finalize after temporal/spatial reuse
+    recomputed w from the untouched weight_sum, so an all-True occlusion_fn
+    produced the same direct radiance as all-False (no shadows at all)."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.integrator import wavefront as wf
+    from raytracer_tpu.integrator.restir import GBuffer, restir_direct
+    from raytracer_tpu.ops.camera import Camera
+    from raytracer_tpu.scene.device_scene import bake_scene
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    w = h = 16
+    cfg = RenderConfig(width=w, height=h, use_restir=True).resolve_accel()
+    ds, _ = bake_scene(create_cornell_box())
+    cam = Camera.create(position=(0, 0, -3), aspect=1.0)
+    mats = cam.matrices()
+    n = w * h
+    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+    jitter = jnp.full((n, 2), 0.5, jnp.float32)
+    origin, direction = wf._camera_rays(
+        jnp.asarray(mats["inverse_view"]), jnp.asarray(mats["inverse_proj"]),
+        w, h, jitter, pixel_idx,
+    )
+    alive = jnp.ones((n,), bool)
+    hit = wf._trace(ds, origin, direction, cfg, alive)
+    lane = alive & hit.hit
+    surf = wf.fetch_surface(ds, hit, direction, lane)
+    gbuf = GBuffer(
+        position=surf.world_pos, normal=surf.world_nrm, albedo=surf.albedo,
+        roughness=surf.roughness, metallic=surf.metallic,
+        emission=surf.emission_color * surf.emission_power[:, None],
+        hit=lane, object=surf.obj,
+    )
+
+    def all_visible(o, d, t_max, skip_obj, active):
+        return jnp.zeros((n,), bool)
+
+    def all_occluded(o, d, t_max, skip_obj, active):
+        return jnp.ones((n,), bool)
+
+    direct_vis, res_vis = restir_direct(
+        ds, gbuf, direction, None, 1, cfg, all_visible
+    )
+    direct_occ, res_occ = restir_direct(
+        ds, gbuf, direction, None, 1, cfg, all_occluded
+    )
+    assert float(jnp.sum(direct_vis)) > 0.0
+    assert float(jnp.sum(jnp.abs(direct_occ))) == 0.0
+    # The killed reservoirs must carry no resurrectable weight into the next
+    # frame's temporal reuse.
+    assert float(jnp.max(res_occ.weight_sum)) == 0.0
+    assert float(jnp.max(res_occ.w)) == 0.0
+
+
 def test_restir_reset_on_camera_move():
     from raytracer_tpu.api import ProgressiveRenderer
     from raytracer_tpu.scene.model import create_cornell_box

@@ -196,3 +196,45 @@ def test_pallas_vmem_fallback():
         assert r2.config.accel == "bvh"
     finally:
         api.PALLAS_VMEM_BUDGET = old
+
+
+def test_gltf_trs_decompose_roundtrip():
+    """Loader TRS fields must regenerate the node matrix under the Transform
+    contract (T*Rx*Ry*Rz*S), so a later transform edit doesn't mangle
+    quaternion-rotated objects (previously quat x,y,z were stored verbatim
+    as Euler degrees)."""
+    import math
+
+    from raytracer_tpu.scene.gltf import _decompose_trs
+    from raytracer_tpu.scene.model import Transform
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        x, y, z, w = q
+        r = np.asarray(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+        world = np.eye(4, dtype=np.float32)
+        world[:3, :3] = r @ np.diag(rng.uniform(0.2, 3.0, size=3))
+        world[:3, 3] = rng.uniform(-5, 5, size=3)
+
+        pos, rot, scale = _decompose_trs(world)
+        t = Transform(position=pos, rotation=rot, scale=scale).update_matrices()
+        assert np.allclose(t.model_matrix, world, atol=1e-4), (
+            trial, t.model_matrix, world
+        )
+
+    # Gimbal-lock case: pure +90deg pitch (R[0,2] = 1).
+    world = np.eye(4, dtype=np.float32)
+    world[:3, :3] = np.asarray(
+        [[0, 0, 1], [0, 1, 0], [-1, 0, 0]], np.float32
+    )
+    pos, rot, scale = _decompose_trs(world)
+    t = Transform(position=pos, rotation=rot, scale=scale).update_matrices()
+    assert np.allclose(t.model_matrix, world, atol=1e-5)
