@@ -27,13 +27,22 @@ import numpy as np
 
 WIDTH, HEIGHT = 1920, 1080
 TARGET_TRIS = 300_000
-WARMUP_FRAMES = 1
+WARMUP_FRAMES = 2  # frame 0 pays compile + scene upload; frame 1 catches
+# deferred work (round 1 recorded a 122 s first *timed* frame because one
+# warmup frame + block_until_ready didn't actually drain the axon queue)
 BENCH_FRAMES = 8
 BASELINE_MRAYS = 200.0
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def drain(x):
+    """Force completion with a readback: jax.block_until_ready returns
+    early through the axon tunnel (observed 0.0 s 'frame times' for 10 s
+    computations), so timing must round-trip a value."""
+    return float(jnp.sum(x))
 
 
 def main():
@@ -73,18 +82,27 @@ def main():
     t0 = time.perf_counter()
     for f in range(WARMUP_FRAMES):
         rad, nrays = step(ds, ubo, jnp.uint32(f), cfg)
-    rad = jax.block_until_ready(rad)
+        drain(rad)
+        log(f"warmup {f}: {time.perf_counter() - t0:.1f}s cumulative")
     compile_s = time.perf_counter() - t0
-    log(f"compile+warmup: {compile_s:.1f}s")
 
     total_rays = 0
-    t0 = time.perf_counter()
+    frame_times = []
     for f in range(WARMUP_FRAMES, WARMUP_FRAMES + BENCH_FRAMES):
+        t0 = time.perf_counter()
         rad, nrays = step(ds, ubo, jnp.uint32(f), cfg)
-        jax.block_until_ready(rad)  # honest per-frame timing (no deep queue)
+        drain(rad)  # honest per-frame timing (readback; see drain())
+        frame_times.append(time.perf_counter() - t0)
         total_rays += int(nrays)
-        log(f"frame {f}: {time.perf_counter() - t0:.1f}s cumulative")
-    elapsed = time.perf_counter() - t0
+        log(f"frame {f}: {frame_times[-1]:.2f}s")
+    elapsed = sum(frame_times)
+
+    # Sanity-check variance: a straggler frame (tunnel stall, deferred
+    # recompile) must be visible in the record, not silently averaged in.
+    ft = np.asarray(frame_times)
+    if ft.max() > 2.0 * np.median(ft):
+        log(f"WARNING: frame-time outlier {ft.max():.1f}s vs median "
+            f"{np.median(ft):.1f}s — inspect per-frame times below")
 
     mrays = total_rays / elapsed / 1e6
     result = {
@@ -103,6 +121,8 @@ def main():
             "rays": total_rays,
             "spp_per_sec": round(BENCH_FRAMES / elapsed, 3),
             "ms_per_frame": round(1e3 * elapsed / BENCH_FRAMES, 1),
+            "frame_times_s": [round(t, 2) for t in frame_times],
+            "median_frame_s": round(float(np.median(ft)), 2),
             "bake_s": round(bake_s, 2),
             "compile_s": round(compile_s, 2),
             "mean_radiance": float(np.asarray(rad).mean()),
