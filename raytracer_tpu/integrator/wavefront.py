@@ -106,6 +106,13 @@ def _sort_wavefront(state: WavefrontState, scene) -> WavefrontState:
     sorting is the difference between ~0.2 s and ~20 s per 1080p frame
     (measured). Dead lanes sort to the end and their packets terminate in
     one pop. Per-lane values travel with the lane, so images are unchanged.
+
+    XLA gathers are ROW-throughput-bound (~25 ns/row regardless of width),
+    so the 15 per-field gathers of the naive tree_map permutation are packed
+    into two wide ones (f32 fields / integer fields) — measured 435 -> ~170
+    ms at 2M lanes. Key variants measured in tools/sort_lab.py: this
+    direction-major key beats position-major, finer direction bits, and
+    morton-only on bounce-wavefront visit counts.
     """
     extent = jnp.maximum(scene.scene_max - scene.scene_min, 1e-6)
     q = jnp.clip(
@@ -123,7 +130,52 @@ def _sort_wavefront(state: WavefrontState, scene) -> WavefrontState:
     dead = (~state.alive).astype(jnp.uint32)
     key = (dead << 31) | (octant << 27) | morton
     perm = jnp.argsort(key)
-    return jax.tree_util.tree_map(lambda a: a[perm], state)
+
+    packed_f = jnp.concatenate(
+        [
+            state.origin,
+            state.direction,
+            state.color,
+            state.throughput,
+            state.prev_hit_pos,
+            state.prev_brdf_pdf[:, None],
+            state.p_sample_light[:, None],
+        ],
+        axis=1,
+    )[perm]
+    flags = (
+        state.alive.astype(jnp.uint32)
+        | (state.first_bounce.astype(jnp.uint32) << 1)
+        | (state.is_specular.astype(jnp.uint32) << 2)
+        | (state.did_direct.astype(jnp.uint32) << 3)
+    )
+    packed_i = jnp.stack(
+        [
+            state.seed_rgen,
+            state.seed,
+            flags,
+            state.channel.astype(jnp.uint32),
+            state.pixel.astype(jnp.uint32),
+        ],
+        axis=1,
+    )[perm]
+    return WavefrontState(
+        origin=packed_f[:, 0:3],
+        direction=packed_f[:, 3:6],
+        color=packed_f[:, 6:9],
+        throughput=packed_f[:, 9:12],
+        prev_hit_pos=packed_f[:, 12:15],
+        prev_brdf_pdf=packed_f[:, 15],
+        p_sample_light=packed_f[:, 16],
+        seed_rgen=packed_i[:, 0],
+        seed=packed_i[:, 1],
+        alive=(packed_i[:, 2] & 1) != 0,
+        first_bounce=(packed_i[:, 2] & 2) != 0,
+        is_specular=(packed_i[:, 2] & 4) != 0,
+        did_direct=(packed_i[:, 2] & 8) != 0,
+        channel=packed_i[:, 3].astype(jnp.int32),
+        pixel=packed_i[:, 4].astype(jnp.int32),
+    )
 
 
 def _camera_rays(inverse_view, inverse_proj, width, height, jitter,
@@ -183,16 +235,60 @@ def _occluded(scene, origin, direction, t_max, skip_object, cfg, active):
         )
         return occ & active
     if cfg.accel == "pallas":
-        from raytracer_tpu.ops.pallas_traverse import occlusion_bvh_pallas
-
-        return occlusion_bvh_pallas(
-            origin, direction, cfg.t_min, t_max, scene, skip_object,
-            active_mask=active,
+        return _occluded_pallas_sorted(
+            scene, origin, direction, t_max, skip_object, cfg, active
         )
     return occlusion_bvh(
         origin, direction, cfg.t_min, t_max, scene, skip_object,
         leaf_size=cfg.bvh_leaf_size, active_mask=active,
     )
+
+
+def _occluded_pallas_sorted(scene, origin, direction, t_max, skip_object,
+                            cfg, active):
+    """Position-sorted occlusion for the packet kernel.
+
+    Shadow rays inherit the caller's wavefront order — direction-octant-major
+    for bounce wavefronts — which scrambles shadow-ray ORIGINS across
+    packets, and packet traversal costs the union of its rays' BVH visits.
+    Re-sorting by origin Morton (dead lanes last) collapses the unions:
+    measured 3047 -> 323 ms at bounce 0 and 1568 -> 321 ms at bounce 1 on
+    the 300k-tri bench workload (tools/occl_lab.py), for ~115 ms of
+    permutation overhead. The permutation moves through ONE packed [N,8]
+    row gather (gathers are row-throughput-bound, width is free) and the
+    result scatters back through the inverse."""
+    from raytracer_tpu.ops.pallas_traverse import occlusion_bvh_pallas
+
+    n = origin.shape[0]
+    extent = jnp.maximum(scene.scene_max - scene.scene_min, 1e-6)
+    q = jnp.clip(
+        (origin - scene.scene_min) / extent * 511.0, 0.0, 511.0
+    ).astype(jnp.uint32)
+    morton = (
+        _morton9(q[:, 0]) | (_morton9(q[:, 1]) << 1) | (_morton9(q[:, 2]) << 2)
+    )
+    key = ((~active).astype(jnp.uint32) << 31) | morton
+    perm = jnp.argsort(key)
+
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    # Fold `active` into t_max (inactive lanes' slab tests all fail) so the
+    # mask needn't be permuted separately.
+    t_eff = jnp.where(active, t_max_b, cfg.t_min)
+    packed = jnp.concatenate(
+        [
+            origin,
+            direction,
+            t_eff[:, None],
+            # Object ids are small ints — exact in f32.
+            skip_object.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )[perm]
+    occ_s = occlusion_bvh_pallas(
+        packed[:, 0:3], packed[:, 3:6], cfg.t_min, packed[:, 6],
+        scene, packed[:, 7].astype(jnp.int32),
+    )
+    return jnp.zeros((n,), bool).at[perm].set(occ_s) & active
 
 
 def _light_weights(scene, hit_pos, skip_object, cfg: RenderConfig):

@@ -145,10 +145,12 @@ def _visit_internal(pnodes_ref, stack_ref, sp, node_id,
 
     hit_l, tn_l = _slab(ox, oy, oz, ix, iy, iz, *lmn, *lmx, t_min, t_cap)
     hit_r, tn_r = _slab(ox, oy, oz, ix, iy, iz, *rmn, *rmx, t_min, t_cap)
-    any_l = jnp.any(hit_l)
-    any_r = jnp.any(hit_r)
     near_l = jnp.min(jnp.where(hit_l, tn_l, BIG))
     near_r = jnp.min(jnp.where(hit_r, tn_r, BIG))
+    # any-hit is derived from the min reductions (saves 2 of 4 cross-tile
+    # reductions per visit; measured ~2%).
+    any_l = near_l < BIG
+    any_r = near_r < BIG
     swap = near_r < near_l
     m_near = jnp.where(swap, rmeta, lmeta)
     m_far = jnp.where(swap, lmeta, rmeta)
@@ -253,27 +255,33 @@ def _occlusion_kernel(leaf_size,
 
     stack_ref[0] = root_ref[0]
 
-    def body(sp):
+    # `occ` only changes at leaf visits, so the per-lane union cap (occluded
+    # lanes stop driving traversal) and the all-occluded early exit are
+    # refreshed after leaves only — spending a [32,128] where + a full
+    # reduction on every internal visit measured 1.26x slower (tools/
+    # occl_lab.py).
+    def body(carry):
+        sp, t_eff = carry
         sp = sp - 1
         meta = stack_ref[sp]
 
-        def on_leaf(sp):
+        def on_leaf(args):
+            sp, _ = args
             leaf_fn(~meta)
-            return sp
-
-        def on_internal(sp):
-            # Lanes already occluded stop driving traversal.
             t_eff = jnp.where(occ_ref[0] == 0, t_max, 1e-3)
+            sp = jnp.where(jnp.all(occ_ref[0] == 1), 0, sp)
+            return sp, t_eff
+
+        def on_internal(args):
+            sp, t_eff = args
             return _visit_internal(
                 pnodes_ref, stack_ref, sp, meta,
                 ox, oy, oz, ix, iy, iz, t_min, t_eff,
-            )
+            ), t_eff
 
-        sp = jax.lax.cond(meta < 0, on_leaf, on_internal, sp)
-        all_done = jnp.all(occ_ref[0] == 1)
-        return jnp.where(all_done, 0, sp)
+        return jax.lax.cond(meta < 0, on_leaf, on_internal, (sp, t_eff))
 
-    jax.lax.while_loop(lambda sp: sp > 0, body, 1)
+    jax.lax.while_loop(lambda c: c[0] > 0, body, (1, t_max))
 
 
 def _tile_count(n: int) -> int:
