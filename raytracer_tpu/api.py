@@ -204,9 +204,18 @@ class ProgressiveRenderer:
 
     # -- checkpoint / resume ---------------------------------------------
     def save_checkpoint(self, path: str):
+        extra = {}
+        if self.reservoir is not None:
+            # ReSTIR temporal history is part of the render state: dropping
+            # it on resume silently restarts temporal reuse from scratch.
+            extra = {
+                f"reservoir_{k}": np.asarray(v)
+                for k, v in self.reservoir._asdict().items()
+            }
         np.savez_compressed(
             path, accum=np.asarray(self.accum), frame=self.frame,
             width=self.config.width, height=self.config.height,
+            **extra,
         )
 
     def load_checkpoint(self, path: str):
@@ -215,6 +224,18 @@ class ProgressiveRenderer:
         assert int(data["height"]) == self.config.height
         self.accum = jnp.asarray(data["accum"])
         self.frame = int(data["frame"])
+        if self.config.use_restir:
+            from raytracer_tpu.integrator.restir import Reservoir
+
+            if "reservoir_weight_sum" in data:
+                self.reservoir = Reservoir(**{
+                    k: jnp.asarray(data[f"reservoir_{k}"])
+                    for k in Reservoir._fields
+                })
+            else:
+                # Pre-round-2 checkpoint without reservoir state: resume the
+                # accumulation but restart temporal reuse.
+                self.reservoir = Reservoir.empty(self.config.num_pixels)
         # Materialize the camera UBO now and clear the dirty flag so the
         # next begin_frame() doesn't wipe the restored accumulation (the
         # caller asserts the camera/scene match the checkpointed render).

@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--accel", choices=("auto", "pallas", "bvh", "brute"),
                    default="auto")
     p.add_argument("--no-transmission", action="store_true")
+    p.add_argument("--light-sampling-only", action="store_true",
+                   help="direct light via NEE only (USE_LIGHT_SAMPLING_ONLY,"
+                        " simple.rchit:10)")
     p.add_argument("--restir", action="store_true",
                    help="use ReSTIR DI for direct lighting")
     p.add_argument("--checkpoint", default=None,
@@ -67,6 +70,7 @@ def main(argv=None) -> int:
         background=tuple(args.background),
         accel=args.accel,
         enable_transmission=not args.no_transmission,
+        use_light_sampling_only=args.light_sampling_only,
         use_restir=args.restir,
     )
     camera = Camera.create(

@@ -476,7 +476,11 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig,
         did_direct = surface_lane
         shadow_rays = jnp.int32(0)
     elif cfg.use_direct_lighting and scene.num_lights > 0:
-        if cfg.use_mis:
+        # Light-only mode (USE_LIGHT_SAMPLING_ONLY semantics) behaves like
+        # the USE_MIS=0 estimator for direct light: deterministic NEE,
+        # weight 1, no lottery draw.
+        mis_nee = cfg.use_mis and not cfg.use_light_sampling_only
+        if mis_nee:
             # Stochastic NEE lottery (simple.rchit:621-623).
             p_draw, seed = rng.rnd_masked(seed, surface_lane)
             do_nee = surface_lane & (p_draw < p_sample_light)
@@ -529,7 +533,7 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig,
         spec_pdf = brdf.microfacet_pdf(wo_local, h_local, roughness)
         diff_pdf = cos_theta(wi_local) / brdf.M_PI
         brdf_pdf = p_spec * spec_pdf + (1.0 - p_spec) * diff_pdf
-        if cfg.use_mis:
+        if mis_nee:
             weight = mis_weight_power(light_pdf, brdf_pdf)
         else:
             weight = jnp.ones_like(light_pdf)  # evaluateLightMIS else-branch
@@ -539,7 +543,7 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig,
             * (cos_theta(wi_local) * weight
                / jnp.maximum(light_pdf, 1e-6))[:, None]
         )
-        if cfg.use_mis:
+        if mis_nee:
             # Stochastic-NEE unbiasing divide (simple.rchit:625).
             contrib = throughput * radiance / p_sample_light[:, None]
         else:
@@ -547,7 +551,8 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig,
         color = jnp.where(visible[:, None], color + contrib, color)
         did_direct = do_nee
         shadow_rays = jnp.sum((consider & (sr_dist > 0.0)).astype(jnp.int32))
-    elif cfg.use_direct_lighting and cfg.use_mis:
+    elif (cfg.use_direct_lighting and cfg.use_mis
+          and not cfg.use_light_sampling_only):
         # No lights: the NEE lottery draw still happens (simple.rchit:622).
         _, seed = rng.rnd_masked(seed, surface_lane)
         shadow_rays = jnp.int32(0)
@@ -563,7 +568,8 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig,
     seed_surface = jnp.where(surface_lane, seed_after_brdf, seed)
 
     # --- emissive-hit handling (simple.rchit:641-686) ---
-    if cfg.use_direct_lighting and cfg.use_mis:
+    if (cfg.use_direct_lighting and cfg.use_mis
+            and not cfg.use_light_sampling_only):
         add_full = surface_lane & is_emissive & (
             state.first_bounce | state.is_specular
         )

@@ -27,6 +27,12 @@ class RenderConfig:
     max_depth: int = 3
     use_direct_lighting: bool = True
     use_mis: bool = True
+    # USE_LIGHT_SAMPLING_ONLY (simple.rchit:10): declared in the reference
+    # but referenced by no shader code; the natural semantics — direct light
+    # exclusively via NEE (deterministic, MIS weight 1) with emissive hits
+    # counted only on first-bounce/specular paths — are implemented here as
+    # a runtime flag, completing the set of reference compile switches.
+    use_light_sampling_only: bool = False
     max_lights: int = 256
 
     # Russian roulette starts at this bounce depth (simple.rgen:55-68).

@@ -222,3 +222,26 @@ def test_refit_render_matches_fresh_build():
     a = np.asarray(render_wavefront(ds_refit, ubo, jnp.uint32(1), cfg))
     b = np.asarray(render_wavefront(ds_fresh, ubo, jnp.uint32(1), cfg))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_light_sampling_only_mode():
+    """USE_LIGHT_SAMPLING_ONLY semantics: direct light exclusively via
+    deterministic NEE (weight 1); emissive surfaces contribute only on
+    first-bounce/specular paths. Both estimators target the same radiance,
+    so means agree loosely; images must differ (different estimator)."""
+    import numpy as np
+
+    from raytracer_tpu.api import render
+    from raytracer_tpu.scene.model import create_cornell_box
+    from raytracer_tpu.utils.config import RenderConfig
+
+    spp = 24
+    base = render(create_cornell_box(), None,
+                  RenderConfig(width=32, height=32), num_frames=spp)
+    lso = render(create_cornell_box(), None,
+                 RenderConfig(width=32, height=32,
+                              use_light_sampling_only=True), num_frames=spp)
+    assert np.isfinite(lso).all()
+    assert not np.allclose(base, lso)
+    m1, m2 = base.mean(), lso.mean()
+    assert abs(m1 - m2) / max(m1, 1e-6) < 0.2, (m1, m2)
