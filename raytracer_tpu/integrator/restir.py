@@ -144,23 +144,25 @@ def _finalize(res: Reservoir) -> Reservoir:
     return res._replace(w=w)
 
 
-def _sample_light_point(scene, light_idx, u_tri, r1, r2, cfg):
-    """Area-sample light `light_idx` at given random numbers. Returns
-    (pos, normal_raw, area, num_tris, emission). Mirrors sampleLight's
-    sqrt-barycentric sampling (simple.rchit:266-282) but is deterministic
-    in (u_tri, r1, r2) so reservoir samples can be re-evaluated."""
-    l_used = min(scene.num_lights, cfg.max_lights)
-    sel = jnp.clip(light_idx, 0, l_used - 1)
-    first = scene.light_first_tri[sel]
-    num_tris = scene.light_num_tris[sel]
-    tri_local = jnp.minimum(
-        (u_tri * num_tris.astype(jnp.float32)).astype(jnp.int32),
-        num_tris - 1,
-    )
-    ti = jnp.clip(first + tri_local, 0, scene.light_tri_v0.shape[0] - 1)
+def _sample_light_point(scene, tri_global, r1, r2, cfg):
+    """Area-sample the GLOBAL light-triangle `tri_global` at barycentric
+    randoms (r1, r2). Returns (pos, normal_raw, area, num_tris, emission,
+    light_idx). Mirrors sampleLight's sqrt-barycentric sampling
+    (simple.rchit:266-282). The sample is a pure function of
+    (tri_global, r1, r2) — the reservoir's stored identity — with (r1, r2)
+    GENUINELY uniform on the unit square. (An earlier version stored
+    (u_tri, r1) and derived r2 via a deterministic fold of the two, which
+    confines samples to a 1-D curve while the pdf assumes uniform area
+    sampling: measured +8% energy bias on Cornell.)"""
+    ti = jnp.clip(tri_global, 0, scene.light_tri_v0.shape[0] - 1)
     v0 = scene.light_tri_v0[ti]
     e1 = scene.light_tri_e1[ti]
     e2 = scene.light_tri_e2[ti]
+    obj = scene.light_tri_object[ti]
+    light_idx = scene.obj_light_index[jnp.clip(obj, 0, scene.num_objects - 1)]
+    l_used = min(scene.num_lights, cfg.max_lights)
+    sel = jnp.clip(light_idx, 0, max(l_used - 1, 0))
+    num_tris = scene.light_num_tris[sel]
     sqrt_r1 = jnp.sqrt(r1)
     bu = 1.0 - sqrt_r1
     bv = sqrt_r1 * (1.0 - r2)
@@ -169,20 +171,19 @@ def _sample_light_point(scene, light_idx, u_tri, r1, r2, cfg):
     face_n = cross(e1, e2)
     area = 0.5 * length(face_n)
     emission = scene.light_emission[sel]
-    return pos, face_n, area, num_tris, emission
+    return pos, face_n, area, num_tris, emission, light_idx
 
 
-def _target_pdf(scene, gbuf: GBuffer, light_idx, uv, cfg):
+def _target_pdf(scene, gbuf: GBuffer, tri_global, uv, cfg):
     """p̂ = luminance(f·Le·G) of the unshadowed contribution at the G-buffer
-    surface, plus the geometry needed for shading. uv = (u_tri, r1) with the
-    paper's 2-random-number parameterization collapsed onto the reference's
-    reservoir uv field; r2 is derived from r1 via a fixed hash-free fold so
-    the sample point is a pure function of the stored uv."""
-    u_tri = uv[:, 0]
-    r1 = uv[:, 1]
-    r2 = (u_tri * 7919.0 + r1 * 104729.0) % 1.0
-    pos, face_n, area, num_tris, emission = _sample_light_point(
-        scene, light_idx, u_tri, r1, r2, cfg
+    surface, plus the geometry needed for shading. The reservoir sample is
+    (tri_global, uv=(r1, r2)) — field-for-field the RTXDI reservoir with
+    lightIndex holding the global light-PRIMITIVE id (the standard encoding
+    for mesh lights) and uv the point on it."""
+    r1 = uv[:, 0]
+    r2 = uv[:, 1]
+    pos, face_n, area, num_tris, emission, light_idx = _sample_light_point(
+        scene, tri_global, r1, r2, cfg
     )
     to_light = pos - gbuf.position
     dist = jnp.maximum(length(to_light), 0.01)
@@ -194,15 +195,15 @@ def _target_pdf(scene, gbuf: GBuffer, light_idx, uv, cfg):
     # View direction: G-buffer stores the camera-ray direction implicitly via
     # position; reconstruct wo from the camera in the caller — here we accept
     # precomputed wo_local lanes instead.
-    return pos, dist, wi, cos_l, area, num_tris, emission, basis
+    return pos, dist, wi, cos_l, area, num_tris, emission, basis, light_idx
 
 
-def _unshadowed_radiance(scene, gbuf, wo_world, light_idx, uv, cfg):
+def _unshadowed_radiance(scene, gbuf, wo_world, tri_global, uv, cfg):
     """Returns (radiance f32[N,3], dist, wi_world, valid) for the sample
-    identified by (light_idx, uv): f·Le·cosθ·cosL·area·numTris/dist² — the
+    identified by (tri_global, uv): f·Le·cosθ·cosL·area·numTris/dist² — the
     area-measure contribution whose luminance is the ReSTIR target p̂."""
-    (pos, dist, wi, cos_l, area, num_tris, emission, basis
-     ) = _target_pdf(scene, gbuf, light_idx, uv, cfg)
+    (pos, dist, wi, cos_l, area, num_tris, emission, basis, light_idx
+     ) = _target_pdf(scene, gbuf, tri_global, uv, cfg)
     wo_local = world_to_local(-wo_world, basis)
     wi_local = world_to_local(wi, basis)
     f = brdf.evaluate_full(
@@ -214,7 +215,10 @@ def _unshadowed_radiance(scene, gbuf, wo_world, light_idx, uv, cfg):
     # is divided out by using contribution per unit sample probability).
     scale = geom * area * jnp.maximum(num_tris.astype(jnp.float32), 1.0)
     radiance = f * emission * scale[:, None]
-    valid = (light_idx >= 0) & (cos_l > 1e-6) & (cos_surf > 0.0) & gbuf.hit
+    valid = (
+        (tri_global >= 0) & (light_idx >= 0)
+        & (cos_l > 1e-6) & (cos_surf > 0.0) & gbuf.hit
+    )
     radiance = jnp.where(valid[:, None], radiance, 0.0)
     return radiance, dist, pos, wi, valid
 
@@ -248,41 +252,55 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
 
     # --- 2. initial candidates (RIS) ---
     res = Reservoir.empty(n)
+    lt_count = scene.light_tri_v0.shape[0]
     for _ in range(cfg.restir_initial_candidates):
         r_sel, seed = rng.rnd(seed)
+        r_tri, seed = rng.rnd(seed)
         r1, seed = rng.rnd(seed)
         r2, seed = rng.rnd(seed)
         r_keep, seed = rng.rnd(seed)
         pick = r_sel * total_w
         light = jnp.argmax(cdf >= pick[:, None], axis=1).astype(jnp.int32)
         found = jnp.any(cdf >= pick[:, None], axis=1) & (total_w > 0.0)
-        light = jnp.where(found, light, -1)
-        sel_w = jnp.take_along_axis(
-            weights, jnp.clip(light, 0, l_used - 1)[:, None], axis=1
-        )[:, 0]
+        sel_c = jnp.clip(light, 0, l_used - 1)
+        sel_w = jnp.take_along_axis(weights, sel_c[:, None], axis=1)[:, 0]
+        # Uniform triangle pick within the light -> global light-tri id (the
+        # reservoir's sample identity, with uv = the point on it).
+        num_tris = scene.light_num_tris[sel_c]
+        tri_local = jnp.minimum(
+            (r_tri * num_tris.astype(jnp.float32)).astype(jnp.int32),
+            num_tris - 1,
+        )
+        tri_global = jnp.where(
+            found,
+            jnp.clip(scene.light_first_tri[sel_c] + tri_local, 0,
+                     lt_count - 1),
+            -1,
+        )
         source_pdf = jnp.where(
             found, sel_w / jnp.maximum(total_w, 1e-20), 0.0
         )
         uv = jnp.stack([r1, r2], axis=-1)
         radiance, dist, _pos, _wi, valid = _unshadowed_radiance(
-            scene, gbuf, wo_world, light, uv, cfg
+            scene, gbuf, wo_world, tri_global, uv, cfg
         )
         target = luminance_rec601(radiance)
-        # RIS weight = p̂ / p_source (area pdf already folded into radiance).
+        # RIS weight = p̂ / p_source (the triangle+area pdfs are folded into
+        # the area-measure radiance; p_source is the light-selection pdf).
         cand_weight = jnp.where(
             valid & (source_pdf > 0.0), target / jnp.maximum(source_pdf, 1e-20),
             0.0,
         )
-        res = _reservoir_update(res, light, uv, dist, target, cand_weight,
-                                r_keep)
+        res = _reservoir_update(res, tri_global, uv, dist, target,
+                                cand_weight, r_keep)
     res = _finalize(res)
 
     # --- 3. visibility for the survivor ---
     radiance, dist, lpos, wi, valid = _unshadowed_radiance(
         scene, gbuf, wo_world, res.light_index, res.uv, cfg
     )
-    light_obj = scene.light_object[
-        jnp.clip(res.light_index, 0, l_used - 1)
+    light_obj = scene.light_tri_object[
+        jnp.clip(res.light_index, 0, lt_count - 1)
     ]
     eps = 0.001
     offset_from = gbuf.position + gbuf.normal * (
@@ -356,7 +374,9 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
     radiance, dist, lpos, wi, valid = _unshadowed_radiance(
         scene, gbuf, wo_world, res.light_index, res.uv, cfg
     )
-    light_obj = scene.light_object[jnp.clip(res.light_index, 0, l_used - 1)]
+    light_obj = scene.light_tri_object[
+        jnp.clip(res.light_index, 0, lt_count - 1)
+    ]
     offset_from = gbuf.position + gbuf.normal * (
         eps * jnp.sign(dot_k(gbuf.normal, wi))
     )
@@ -425,6 +445,12 @@ def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
     hit = wf._trace(scene, origin, direction, cfg, state.alive)
     lane = state.alive & hit.hit
     surf = wf.fetch_surface(scene, hit, direction, lane)
+    # Dielectric lanes handle their own light transport (the plain path
+    # skips NEE on them too); ReSTIR covers opaque-surface lanes only.
+    if cfg.enable_transmission:
+        restir_lane = lane & ~(surf.transmission > 0.0)
+    else:
+        restir_lane = lane
     gbuf = GBuffer(
         position=surf.world_pos,
         normal=surf.world_nrm,
@@ -432,7 +458,7 @@ def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
         roughness=surf.roughness,
         metallic=surf.metallic,
         emission=surf.emission_color * surf.emission_power[:, None],
-        hit=lane,
+        hit=restir_lane,
         object=surf.obj,
     )
 
@@ -448,7 +474,15 @@ def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
     state, payload_hit, _ = wf._shade(scene, state, hit, cfg,
                                       suppress_nee=True)
     state = state._replace(
-        color=state.color + jnp.where(lane[:, None], direct, 0.0)
+        color=state.color + jnp.where(restir_lane[:, None], direct, 0.0)
+    )
+    # ReSTIR's direct at this vertex is FULL (weight 1, no MIS split), so
+    # the next bounce's emissive-hit handling must stay suppressed even on
+    # specular-lobe lanes — the reference's isSpecular full-emission add
+    # (simple.rchit:644) assumes the MIS-weighted NEE estimator and would
+    # double-count glossy direct light here (measured +8% on Cornell).
+    state = state._replace(
+        is_specular=jnp.where(restir_lane, False, state.is_specular)
     )
 
     missed = state.alive & ~payload_hit

@@ -120,6 +120,10 @@ class SceneOnDevice:
     light_tri_v0: jax.Array  # f32[LT,3]
     light_tri_e1: jax.Array  # f32[LT,3]
     light_tri_e2: jax.Array  # f32[LT,3]
+    # Owning object per light-tri row (original pre-BVH triangle order), so
+    # a ReSTIR reservoir can identify its sample by GLOBAL light-triangle id
+    # (light = obj_light_index[light_tri_object[tri]]).
+    light_tri_object: jax.Array  # i32[LT]
 
     # --- per-object light index (-1 if not a light), for emissive-hit MIS ---
     obj_light_index: jax.Array  # i32[O]
@@ -464,6 +468,7 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
         light_tri_v0=as_device(np.ascontiguousarray(v0)),
         light_tri_e1=as_device(np.ascontiguousarray(e1)),
         light_tri_e2=as_device(np.ascontiguousarray(e2)),
+        light_tri_object=as_device(np.ascontiguousarray(tri_object)),
         obj_light_index=as_device(obj_light_index),
         num_triangles=num_tris,
         num_lights=num_lights,
