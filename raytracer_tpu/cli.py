@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use ReSTIR DI for direct lighting")
     p.add_argument("--checkpoint", default=None,
                    help="save/resume accumulation state at this .npz path")
+    p.add_argument("--preview", type=int, default=0, metavar="N",
+                   help="live preview: rewrite --out (plus a stats table) "
+                        "every N frames while accumulating — the headless "
+                        "analog of the reference's live viewport "
+                        "(ui.odin:491-571)")
     p.add_argument("--stats-every", type=int, default=0, metavar="N",
                    help="print the stats table every N frames (the ImGui "
                         "Performance-window analog)")
@@ -100,6 +105,11 @@ def main(argv=None) -> int:
             log.info("frame %d/%d (%.2f s)", i + 1, args.spp, elapsed)
         if args.stats_every and (i + 1) % args.stats_every == 0:
             print(stats.format_table())
+        if args.preview and (i + 1) % args.preview == 0:
+            write_image(args.out, renderer.image())
+            print(stats.format_table())
+            log.info("preview updated: %s (%d spp)", args.out,
+                     renderer.frame)
     elapsed = time.perf_counter() - start
 
     write_image(args.out, renderer.image())
