@@ -45,6 +45,49 @@ def drain(x):
     return float(jnp.sum(x))
 
 
+def conference_datapoint(step):
+    """1080p render of /root/reference/models/conference_mirror_chairs.glb
+    (7584 tris, 4 lights, mirror materials) — measured on the same jitted
+    step as the headline number."""
+    import os
+
+    from raytracer_tpu.ops.camera import Camera
+    from raytracer_tpu.scene.device_scene import bake_scene
+    from raytracer_tpu.scene.loaders import load_scene
+    from raytracer_tpu.utils.config import RenderConfig
+
+    path = "/root/reference/models/conference_mirror_chairs.glb"
+    if not os.path.exists(path):
+        return None
+    scene = load_scene(path)
+    cfg = RenderConfig(width=WIDTH, height=HEIGHT, max_depth=3,
+                       accel="pallas")
+    ds, _ = bake_scene(scene, leaf_size=cfg.bvh_leaf_size)
+    cam = Camera.create(position=(-3.6, -1.6, 1.5), aspect=WIDTH / HEIGHT,
+                        target=(3.0, 1.5, 1.0))
+    mats = cam.matrices()
+    ubo = {"inverse_view": jnp.asarray(mats["inverse_view"]),
+           "inverse_proj": jnp.asarray(mats["inverse_proj"])}
+    rad, nrays = step(ds, ubo, jnp.uint32(0), cfg)
+    drain(rad)  # compile + warmup
+    rad, nrays = step(ds, ubo, jnp.uint32(1), cfg)
+    drain(rad)
+    total = 0
+    t0 = time.perf_counter()
+    frames = 4
+    for f in range(2, 2 + frames):
+        rad, nrays = step(ds, ubo, jnp.uint32(f), cfg)
+        drain(rad)
+        total += int(nrays)
+    dt = time.perf_counter() - t0
+    return {
+        "triangles": scene.num_triangles,
+        "mrays_per_sec": round(total / dt / 1e6, 2),
+        "ms_per_frame": round(1e3 * dt / frames, 1),
+        "mean_radiance": float(np.asarray(rad).mean()),
+    }
+
+
 def main():
     from raytracer_tpu.integrator.wavefront import render_wavefront
     from raytracer_tpu.ops.camera import Camera
@@ -112,6 +155,12 @@ def main():
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
     }
     print(json.dumps(result), flush=True)
+
+    # Second datapoint on a REAL reference scene (the shipped checkout's
+    # only non-trivial .glb; Sponza/white-room .bins are missing blobs).
+    conf = conference_datapoint(step)
+    if conf:
+        log(json.dumps({"conference_mirror_chairs": conf}))
     log(json.dumps({
         "detail": {
             "scene": "procedural_atrium",
