@@ -66,7 +66,7 @@ class ProgressiveRenderer:
             scene, leaf_size=self.config.bvh_leaf_size
         )
         if self.config.accel == "pallas":
-            from raytracer_tpu.ops.pallas_traverse import stack_fits
+            from raytracer_tpu.ops.pallas_subpacket import stack_fits
 
             reason = None
             if self.device_scene.pallas_vmem_bytes > PALLAS_VMEM_BUDGET:

@@ -214,9 +214,9 @@ def _trace(scene, origin, direction, cfg: RenderConfig, active):
             hit=rec.hit & active, tri=jnp.where(active, rec.tri, -1)
         )
     if cfg.accel == "pallas":
-        from raytracer_tpu.ops.pallas_traverse import intersect_bvh_pallas
+        from raytracer_tpu.ops.pallas_subpacket import intersect_bvh_subpacket
 
-        return intersect_bvh_pallas(
+        return intersect_bvh_subpacket(
             origin, direction, scene, cfg.t_min, cfg.t_max,
             active_mask=active,
         )
@@ -257,7 +257,7 @@ def _occluded_pallas_sorted(scene, origin, direction, t_max, skip_object,
     permutation overhead. The permutation moves through ONE packed [N,8]
     row gather (gathers are row-throughput-bound, width is free) and the
     result scatters back through the inverse."""
-    from raytracer_tpu.ops.pallas_traverse import occlusion_bvh_pallas
+    from raytracer_tpu.ops.pallas_subpacket import occlusion_bvh_subpacket
 
     n = origin.shape[0]
     extent = jnp.maximum(scene.scene_max - scene.scene_min, 1e-6)
@@ -284,7 +284,7 @@ def _occluded_pallas_sorted(scene, origin, direction, t_max, skip_object,
         ],
         axis=1,
     )[perm]
-    occ_s = occlusion_bvh_pallas(
+    occ_s = occlusion_bvh_subpacket(
         packed[:, 0:3], packed[:, 3:6], cfg.t_min, packed[:, 6],
         scene, packed[:, 7].astype(jnp.int32),
     )

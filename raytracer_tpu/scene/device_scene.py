@@ -81,9 +81,13 @@ class SceneOnDevice:
     #   (v0, e1, e2, tri_f, obj_f, pad), stride 12 (96 lanes at the default
     #   leaf size of 8).
     # root_meta i32[1]: the root's meta descriptor.
+    # pmeta i32[2*NI]: child metas ([2n]=left, [2n+1]=right) as a flat SMEM
+    #   array so the sub-packet kernel's push routing stays on the scalar
+    #   core (no vector->scalar extracts for metas).
     pnodes: jax.Array
     ptris: jax.Array
     root_meta: jax.Array
+    pmeta: jax.Array
 
     # World bounds (for Morton-code ray sorting between bounces).
     scene_min: jax.Array  # f32[3]
@@ -260,6 +264,11 @@ def _pack_pallas_arrays(bvh, v0, e1, e2, tri_object, leaf_size):
         pnodes[rows, 12] = lmeta.astype(np.float32)
         pnodes[rows, 13] = rmeta.astype(np.float32)
 
+    pmeta = np.zeros((2 * ni,), np.int32)
+    if len(internal_nodes):
+        pmeta[2 * rows] = lmeta.astype(np.int32)
+        pmeta[2 * rows + 1] = rmeta.astype(np.int32)
+
     ptris = np.zeros((nb, leaf_size * 12), np.float32)
     if is_leaf.any():
         lf = bvh.nodes_first[is_leaf].astype(np.int64)
@@ -279,7 +288,7 @@ def _pack_pallas_arrays(bvh, v0, e1, e2, tri_object, leaf_size):
         ptris = blocks.reshape(nb, leaf_size * 12)
 
     root_meta = np.asarray([meta_of(0)], np.int32)
-    return pnodes, ptris, root_meta
+    return pnodes, ptris, root_meta, pmeta
 
 
 def bake_scene(scene: Scene, leaf_size: int = 8,
@@ -375,7 +384,7 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
     nodes_packed, tris_packed = _pack_traversal_arrays(
         bvh, v0p, e1p, e2p, tri_object_p, leaf_size
     )
-    pnodes, ptris, root_meta = _pack_pallas_arrays(
+    pnodes, ptris, root_meta, pmeta = _pack_pallas_arrays(
         bvh, v0p, e1p, e2p, tri_object_p, leaf_size
     )
 
@@ -403,6 +412,7 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
         pnodes=as_device(pnodes),
         ptris=as_device(ptris),
         root_meta=as_device(root_meta),
+        pmeta=as_device(pmeta),
         scene_min=as_device(
             np.minimum.reduce(
                 [v0.min(0), (v0 + e1).min(0), (v0 + e2).min(0)]

@@ -65,7 +65,7 @@ def make_traversal_scene(v0, e1, e2, tri_object=None, leaf_size=8,
     nodes_packed, tris_packed = _pack_traversal_arrays(
         bvh, v0[perm], e1[perm], e2[perm], tri_object[perm], leaf_size
     )
-    pnodes, ptris, root_meta = _pack_pallas_arrays(
+    pnodes, ptris, root_meta, pmeta = _pack_pallas_arrays(
         bvh, v0[perm], e1[perm], e2[perm], tri_object[perm], leaf_size
     )
     return SimpleNamespace(
@@ -85,6 +85,7 @@ def make_traversal_scene(v0, e1, e2, tri_object=None, leaf_size=8,
         pnodes=jnp.asarray(pnodes),
         ptris=jnp.asarray(ptris),
         root_meta=jnp.asarray(root_meta),
+        pmeta=jnp.asarray(pmeta),
         bvh_max_depth=bvh.max_depth(),
         scene_min=jnp.asarray(
             np.minimum.reduce([v0.min(0), (v0 + e1).min(0), (v0 + e2).min(0)])

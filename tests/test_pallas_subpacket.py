@@ -1,0 +1,103 @@
+"""Divergent sub-packet kernel vs the XLA lockstep walk and the packet
+kernel (interpret mode on CPU; the TPU path is exercised by bench.py and
+tools/v3_kernel_lab.py, which measured 0 mismatches on the 1080p bench
+wavefront)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytracer_tpu.ops.pallas_subpacket import (
+    intersect_bvh_subpacket,
+    occlusion_bvh_subpacket,
+)
+from raytracer_tpu.ops.traverse import intersect_bvh, occlusion_bvh
+from tests.conftest import make_traversal_scene
+
+
+def _scene_and_rays(rng_np, t=160, r=1300):
+    v0 = rng_np.uniform(-3, 3, (t, 3)).astype(np.float32)
+    e1 = rng_np.uniform(-1, 1, (t, 3)).astype(np.float32)
+    e2 = rng_np.uniform(-1, 1, (t, 3)).astype(np.float32)
+    scene = make_traversal_scene(v0, e1, e2, leaf_size=8)
+    o = rng_np.uniform(-4, 4, (r, 3)).astype(np.float32)
+    d = rng_np.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return scene, jnp.asarray(o), jnp.asarray(d)
+
+
+def test_closest_matches_xla_walk(rng_np):
+    scene, o, d = _scene_and_rays(rng_np)
+    ref = intersect_bvh(o, d, scene, 1e-3, 1e4)
+    got = intersect_bvh_subpacket(o, d, scene, 1e-3, 1e4, interpret=True)
+    hits = np.asarray(ref.hit)
+    np.testing.assert_array_equal(hits, np.asarray(got.hit))
+    np.testing.assert_array_equal(
+        np.asarray(ref.tri)[hits], np.asarray(got.tri)[hits]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.t)[hits], np.asarray(got.t)[hits], rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+def test_closest_active_mask(rng_np):
+    scene, o, d = _scene_and_rays(rng_np, r=700)
+    active = jnp.asarray(rng_np.uniform(size=700) < 0.6)
+    ref = intersect_bvh(o, d, scene, 1e-3, 1e4, active_mask=active)
+    got = intersect_bvh_subpacket(o, d, scene, 1e-3, 1e4,
+                                  active_mask=active, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    hits = np.asarray(ref.hit)
+    np.testing.assert_array_equal(
+        np.asarray(ref.tri)[hits], np.asarray(got.tri)[hits]
+    )
+
+
+def test_occlusion_matches_xla_walk(rng_np):
+    scene, o, d = _scene_and_rays(rng_np)
+    r = o.shape[0]
+    t_max = jnp.full((r,), 1e4, jnp.float32)
+    skip = jnp.full((r,), -1, jnp.int32)
+    ref = occlusion_bvh(o, d, 1e-3, t_max, scene, skip)
+    got = occlusion_bvh_subpacket(o, d, 1e-3, t_max, scene, skip,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_occlusion_skip_object_and_tmax(rng_np):
+    v0 = np.asarray([[-1.0, -1.0, 1.0]], np.float32)
+    e1 = np.asarray([[2.0, 0.0, 0.0]], np.float32)
+    e2 = np.asarray([[0.0, 2.0, 0.0]], np.float32)
+    scene = make_traversal_scene(
+        v0, e1, e2, tri_object=np.asarray([7], np.int32), leaf_size=8
+    )
+    o = jnp.asarray([[0.0, 0.0, 0.0]] * 3, jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]] * 3, jnp.float32)
+    t_max = jnp.asarray([10.0, 10.0, 0.5], jnp.float32)
+    # Lane 0: occluder counts; lane 1: skipped via object id; lane 2: t_max
+    # stops short of the plane at z=1.
+    skip = jnp.asarray([-1, 7, -1], jnp.int32)
+    occ = occlusion_bvh_subpacket(o, d, 1e-3, t_max, scene, skip,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ), [True, False, False])
+
+
+def test_single_leaf_root(rng_np):
+    """A scene small enough that the BVH root is one leaf block (leaves
+    never transit the stack — the init path must route the root into the
+    leaf queue)."""
+    v0 = rng_np.uniform(-1, 1, (4, 3)).astype(np.float32)
+    e1 = rng_np.uniform(-1, 1, (4, 3)).astype(np.float32)
+    e2 = rng_np.uniform(-1, 1, (4, 3)).astype(np.float32)
+    scene = make_traversal_scene(v0, e1, e2, leaf_size=8)
+    o = rng_np.uniform(-2, 2, (130, 3)).astype(np.float32)
+    d = rng_np.normal(size=(130, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    ref = intersect_bvh(o, d, scene, 1e-3, 1e4)
+    got = intersect_bvh_subpacket(o, d, scene, 1e-3, 1e4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    hits = np.asarray(ref.hit)
+    np.testing.assert_array_equal(
+        np.asarray(ref.tri)[hits], np.asarray(got.tri)[hits]
+    )
