@@ -47,8 +47,12 @@ class BVH:
     nodes_skip: np.ndarray  # i32[NN]
     nodes_first: np.ndarray  # i32[NN]
     nodes_count: np.ndarray  # i32[NN]
-    tri_order: np.ndarray  # i32[T] (triangle ids in leaf order)
+    tri_order: np.ndarray  # i32[R] (triangle ids in leaf order; with spatial
+    # reference splitting R >= T and ids may REPEAT — see build_bvh_split)
     parent: np.ndarray  # i32[NN]
+    # Number of distinct input triangles the build saw (refit validity
+    # check; tri_order may be longer under reference splitting).
+    input_tris: int = -1
 
     @property
     def num_nodes(self) -> int:
@@ -172,6 +176,139 @@ def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     if native_builder.available():
         return native_builder.build_bvh_native(v0, e1, e2, leaf_size)
     return build_bvh_numpy(v0, e1, e2, leaf_size)
+
+
+_SPLIT_REL_AREA = 64.0   # split refs whose AABB area > this x median
+_SPLIT_MAX_FACTOR = 2.0  # total references capped at factor x triangles
+
+
+def _clip_poly_axis(poly: np.ndarray, axis: int, pos: float,
+                    keep_low: bool) -> np.ndarray:
+    """Sutherland-Hodgman clip of a convex polygon ([k,3] vertices) against
+    the axis-aligned half-space x[axis] <= pos (or >= pos)."""
+    out = []
+    k = len(poly)
+    for i in range(k):
+        a = poly[i]
+        b = poly[(i + 1) % k]
+        a_in = a[axis] <= pos if keep_low else a[axis] >= pos
+        b_in = b[axis] <= pos if keep_low else b[axis] >= pos
+        if a_in:
+            out.append(a)
+        if a_in != b_in:
+            denom = b[axis] - a[axis]
+            t = (pos - a[axis]) / denom if denom != 0.0 else 0.0
+            out.append(a + t * (b - a))
+    return np.asarray(out, np.float64) if out else np.zeros((0, 3))
+
+
+def make_split_refs(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+                    rel_area: float = _SPLIT_REL_AREA,
+                    max_factor: float = _SPLIT_MAX_FACTOR):
+    """Spatial reference splitting (SBVH-lite, Ernst/Greiner early-split
+    style): triangles whose AABB surface area is an outlier are split into
+    multiple REFERENCES with tight clipped AABBs, so one room-sized wall
+    quad no longer smears a scene-wide box across the tree. The triangle
+    GEOMETRY is untouched — a ref only contributes its AABB to the build;
+    leaves then hold (possibly duplicated) full triangles, which cannot
+    change hit results (any true hit lies in some ref's box, and extra
+    ref visits only re-test the same triangle).
+
+    Returns (ref_tri i32[R], ref_lo f32[R,3], ref_hi f32[R,3]); R == T and
+    ref boxes == tri boxes when nothing qualifies.
+
+    Reference analog: the driver BVH build quality knob PREFER_FAST_TRACE
+    (acceleration_structure.odin:65-143) — split quality is the host
+    builder's responsibility here.
+    """
+    import heapq
+
+    v1 = v0 + e1
+    v2 = v0 + e2
+    lo = np.minimum(np.minimum(v0, v1), v2).astype(np.float64)
+    hi = np.maximum(np.maximum(v0, v1), v2).astype(np.float64)
+
+    def area(alo, ahi):
+        d = np.maximum(ahi - alo, 0.0)
+        return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+                      + d[..., 2] * d[..., 0])
+
+    areas = area(lo, hi)
+    pos_areas = areas[areas > 0]
+    if len(pos_areas) == 0:
+        return (np.arange(len(v0), dtype=np.int32), lo.astype(np.float32),
+                hi.astype(np.float32))
+    thresh = rel_area * float(np.median(pos_areas))
+    budget = int(max_factor * len(v0)) - len(v0)
+
+    ref_tri = list(range(len(v0)))
+    ref_lo = [lo[i] for i in range(len(v0))]
+    ref_hi = [hi[i] for i in range(len(v0))]
+    polys = {}
+
+    heap = [(-areas[i], i) for i in np.nonzero(areas > thresh)[0]]
+    heapq.heapify(heap)
+    while heap and budget > 0:
+        neg_a, ri = heapq.heappop(heap)
+        if -neg_a <= thresh:
+            break
+        poly = polys.get(ri)
+        if poly is None:
+            t = ref_tri[ri]
+            poly = np.stack([v0[t], v1[t], v2[t]]).astype(np.float64)
+        box_lo, box_hi = ref_lo[ri], ref_hi[ri]
+        axis = int(np.argmax(box_hi - box_lo))
+        pos = 0.5 * (box_lo[axis] + box_hi[axis])
+        pieces = []
+        for keep_low in (True, False):
+            p = _clip_poly_axis(poly, axis, pos, keep_low)
+            if len(p) >= 3:
+                plo = np.maximum(p.min(axis=0), box_lo)
+                phi = np.minimum(p.max(axis=0), box_hi)
+                pieces.append((p, plo, phi))
+        if len(pieces) < 2:
+            continue  # numerically degenerate split: leave the ref as-is
+        # First piece replaces the ref in place; the second is appended.
+        (p0, lo0, hi0), (p1, lo1, hi1) = pieces
+        polys[ri] = p0
+        ref_lo[ri], ref_hi[ri] = lo0, hi0
+        new_ri = len(ref_tri)
+        ref_tri.append(ref_tri[ri])
+        ref_lo.append(lo1)
+        ref_hi.append(hi1)
+        polys[new_ri] = p1
+        budget -= 1
+        for r, alo, ahi in ((ri, lo0, hi0), (new_ri, lo1, hi1)):
+            a = float(area(alo, ahi))
+            if a > thresh:
+                heapq.heappush(heap, (-a, r))
+
+    return (
+        np.asarray(ref_tri, np.int32),
+        np.stack(ref_lo).astype(np.float32),
+        np.stack(ref_hi).astype(np.float32),
+    )
+
+
+def build_bvh_split(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+                    leaf_size: int = 8) -> BVH:
+    """build_bvh with spatial reference splitting: large triangles become
+    several leaf references with tight clipped AABBs. `tri_order` may repeat
+    triangle ids; downstream packing duplicates those rows (hit records are
+    unaffected — same triangle, same t/u/v). Proxy 'triangles' spanning each
+    ref box feed the unmodified (numpy or native) SAH builder, so both build
+    paths benefit."""
+    ref_tri, ref_lo, ref_hi = make_split_refs(v0, e1, e2)
+    if len(ref_tri) == len(v0):
+        bvh = build_bvh(v0, e1, e2, leaf_size=leaf_size)
+        bvh.input_tris = len(v0)
+        return bvh
+    # Proxy with the ref box's exact AABB/centroid: v0=lo, v1=hi, v2=lo.
+    bvh = build_bvh(ref_lo, ref_hi - ref_lo, np.zeros_like(ref_lo),
+                    leaf_size=leaf_size)
+    bvh.tri_order = ref_tri[bvh.tri_order]
+    bvh.input_tris = len(v0)
+    return bvh
 
 
 def build_bvh_numpy(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,

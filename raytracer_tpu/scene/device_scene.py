@@ -33,7 +33,7 @@ from typing import Tuple
 import jax
 import numpy as np
 
-from raytracer_tpu.accel.bvh import BVH, build_bvh
+from raytracer_tpu.accel.bvh import BVH, build_bvh, build_bvh_split
 from raytracer_tpu.scene.model import Scene
 
 _PAD = 128  # pad triangle count to a lane multiple
@@ -362,23 +362,35 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
     num_lights = len(light_object)
 
     # --- BVH over world triangles, then permute triangle arrays ---
+    # tri_order may contain REPEATED ids (spatial reference splitting,
+    # accel/bvh.py:build_bvh_split): the permuted per-triangle arrays then
+    # carry duplicate rows, which is transparent to traversal and shading.
     if reuse_bvh is not None:
-        assert len(reuse_bvh.tri_order) == num_tris, (
+        ref_basis = reuse_bvh.input_tris if reuse_bvh.input_tris >= 0 \
+            else len(reuse_bvh.tri_order)
+        assert ref_basis == num_tris, (
             "refit requires an unchanged triangle count"
         )
         bvh = reuse_bvh
         perm = bvh.tri_order
         bvh.refit(v0[perm], e1[perm], e2[perm])
     else:
+        # NOTE: spatial reference splitting (build_bvh_split) measured -16%
+        # end-to-end on the 300k-tri bench: the split pieces of large tris
+        # appear in many leaves and every such leaf visit re-tests the full
+        # triangle, so packet/sub-packet unions GROW. Kept available for
+        # scenes with genuinely mixed triangle scales, off by default.
         bvh = build_bvh(v0, e1, e2, leaf_size=leaf_size)
+        bvh.input_tris = num_tris
         perm = bvh.tri_order
+    num_refs = len(perm)
     v0p, e1p, e2p = v0[perm], e1[perm], e2[perm]
     n0p, n1p, n2p = n0[perm], n1[perm], n2[perm]
     tri_object_p = tri_object[perm]
     tri_material_p = obj_material[tri_object_p]
 
     # --- pad to lane multiple with degenerate triangles ---
-    t_pad = max(_PAD, ((num_tris + _PAD - 1) // _PAD) * _PAD)
+    t_pad = max(_PAD, ((num_refs + _PAD - 1) // _PAD) * _PAD)
 
     # --- packed traversal layouts (see SceneOnDevice field docs) ---
     nodes_packed, tris_packed = _pack_traversal_arrays(

@@ -131,6 +131,80 @@ def _check_invariants_after_refit(bvh, v0s, e1s, e2s):
         assert (bvh.nodes_max[i] <= bvh.nodes_max[p] + 1e-4).all()
 
 
+def test_split_refs_cover_and_clip(rng_np):
+    """make_split_refs: every input triangle keeps >=1 reference, ref boxes
+    stay inside the original tri AABB, and outlier-area tris actually split."""
+    from raytracer_tpu.accel.bvh import make_split_refs
+
+    t = 300
+    v0, e1, e2 = _random_tris(rng_np, t)
+    # Four scene-spanning "wall" triangles: area outliers that must split.
+    big = np.asarray(
+        [
+            [[-50, -50, 0], [100, 0, 0], [0, 100, 0]],
+            [[-50, -50, 0], [0, 100, 0], [100, 0, 0]],
+            [[-50, 0, -50], [100, 0, 0], [0, 0, 100]],
+            [[0, -50, -50], [0, 100, 0], [0, 0, 100]],
+        ],
+        np.float32,
+    )
+    v0 = np.concatenate([v0, big[:, 0]])
+    e1 = np.concatenate([e1, big[:, 1]])
+    e2 = np.concatenate([e2, big[:, 2]])
+
+    ref_tri, ref_lo, ref_hi = make_split_refs(v0, e1, e2)
+    assert len(ref_tri) > t + 4, "outlier tris did not split"
+    assert set(ref_tri.tolist()) == set(range(t + 4))
+    lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    assert (ref_lo >= lo[ref_tri] - 1e-3).all()
+    assert (ref_hi <= hi[ref_tri] + 1e-3).all()
+    assert (ref_lo <= ref_hi).all()
+
+
+def test_split_build_matches_unsplit_hits(rng_np):
+    """build_bvh_split trees (duplicated leaf refs) must return bit-identical
+    closest hits to the plain SAH tree."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.accel.bvh import build_bvh_split
+    from raytracer_tpu.ops.traverse import intersect_bvh
+    from tests.conftest import make_traversal_scene
+
+    t, r = 300, 256
+    v0, e1, e2 = _random_tris(rng_np, t)
+    # One scene-spanning floor pair guarantees splitting kicks in.
+    v0 = np.concatenate([v0, [[-40, -6, -40], [40, -6, 40]]]).astype(
+        np.float32)
+    e1 = np.concatenate([e1, [[80, 0, 0], [-80, 0, 0]]]).astype(np.float32)
+    e2 = np.concatenate([e2, [[0, 0, 80], [0, 0, -80]]]).astype(np.float32)
+    t += 2
+
+    o = rng_np.uniform(-8, 8, size=(r, 3)).astype(np.float32)
+    d = rng_np.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    results = []
+    for builder in (build_bvh_numpy, build_bvh_split):
+        scene = make_traversal_scene(v0, e1, e2, leaf_size=8, builder=builder)
+        rec = intersect_bvh(jnp.asarray(o), jnp.asarray(d), scene, 1e-3, 1e4)
+        nrefs = len(scene.perm)
+        tri_global = np.where(
+            np.asarray(rec.hit),
+            scene.perm[np.clip(np.asarray(rec.tri), 0, nrefs - 1)],
+            -1,
+        )
+        results.append((np.asarray(rec.hit), np.asarray(rec.t), tri_global))
+
+    assert len(results[1][0]) == len(results[0][0])
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    hits = results[0][0]
+    np.testing.assert_array_equal(results[0][2], results[1][2])
+    np.testing.assert_allclose(
+        results[0][1][hits], results[1][1][hits], rtol=1e-6, atol=1e-6
+    )
+
+
 def test_max_depth_matches_recursive_reference(rng_np):
     """max_depth (vectorized ancestor walk) vs a direct per-node parent chase."""
     v0, e1, e2 = _random_tris(rng_np, 300)
