@@ -34,7 +34,9 @@ from raytracer_tpu.scene.model import Scene, SceneChangeType
 from raytracer_tpu.utils.config import RenderConfig
 
 # Scene-array VMEM budget for the packet kernel (v5e has 128 MB VMEM; the
-# rest is ray buffers + headroom). Larger scenes fall back to the XLA walk.
+# rest is ray buffers + headroom). Larger scenes are baked as multiple
+# VMEM-sized subtree parts traced in sequential per-part passes
+# (scene/device_scene.py:_pack_pallas_parts).
 PALLAS_VMEM_BUDGET = 90 * 1024 * 1024
 
 
@@ -63,28 +65,29 @@ class ProgressiveRenderer:
             aspect=self.config.width / self.config.height,
         )
         self.device_scene, self._host_bvh = bake_scene(
-            scene, leaf_size=self.config.bvh_leaf_size
+            scene, leaf_size=self.config.bvh_leaf_size,
+            pallas_budget_bytes=self._pallas_budget(),
         )
         if self.config.accel == "pallas":
             from raytracer_tpu.ops.pallas_subpacket import stack_fits
 
             reason = None
             if self.device_scene.pallas_vmem_bytes > PALLAS_VMEM_BUDGET:
-                # The packet kernel keeps the whole BVH + triangles
-                # VMEM-resident (~112 MB budget incl. ray buffers); beyond
-                # that, fall back to the portable XLA walk instead of OOMing
-                # at compile time.
+                # Oversized scenes are cut into VMEM-sized subtree parts at
+                # bake time (device_scene.py:_pack_pallas_parts); this
+                # fallback only remains for the pathological case of a
+                # single part exceeding the budget.
                 reason = (
                     f"scene too large for the VMEM-resident packet kernel "
                     f"({self.device_scene.pallas_vmem_bytes >> 20} MB)"
                 )
-            elif not stack_fits(self.device_scene.bvh_max_depth):
+            elif not stack_fits(self.device_scene.kernel_max_depth):
                 # Binned SAH can emit highly skewed trees on adversarial
                 # input; a tree deeper than the kernel's SMEM stack would
                 # silently corrupt traversal.
                 reason = (
-                    f"BVH depth {self.device_scene.bvh_max_depth} exceeds "
-                    "the packet kernel's traversal stack"
+                    f"BVH depth {self.device_scene.kernel_max_depth} "
+                    "exceeds the packet kernel's traversal stack"
                 )
             if reason is not None:
                 import logging
@@ -105,6 +108,12 @@ class ProgressiveRenderer:
             from raytracer_tpu.integrator.restir import Reservoir
 
             self.reservoir = Reservoir.empty(self.config.num_pixels)
+
+    def _pallas_budget(self):
+        """Packed-array VMEM budget for the bake: only the pallas accel needs
+        VMEM-sized (possibly multi-part) traversal arrays."""
+        return (PALLAS_VMEM_BUDGET if self.config.accel == "pallas"
+                else None)
 
     # -- scene/camera plumbing ------------------------------------------
     def set_camera(self, camera: Camera):
@@ -130,12 +139,14 @@ class ProgressiveRenderer:
             self.device_scene, self._host_bvh = bake_scene(
                 self.scene, leaf_size=self.config.bvh_leaf_size,
                 reuse_bvh=self._host_bvh,
+                pallas_budget_bytes=self._pallas_budget(),
             )
         else:
             # Topology changed: full re-bake (the reference's add/remove
             # path also recompiles, gpu_scene.odin:430-455).
             self.device_scene, self._host_bvh = bake_scene(
-                self.scene, leaf_size=self.config.bvh_leaf_size
+                self.scene, leaf_size=self.config.bvh_leaf_size,
+                pallas_budget_bytes=self._pallas_budget(),
             )
         return True
 

@@ -310,21 +310,28 @@ def _light_weights(scene, hit_pos, skip_object, cfg: RenderConfig):
 def _sample_light(scene, sel, hit_pos, seed, active, cfg: RenderConfig):
     """sampleLight (simple.rchit:239-322): pick a uniform triangle of light
     `sel` (i32[N]), area-sample it with sqrt-barycentrics, return the sample
-    and the solid-angle pdf. Consumes 3 masked draws."""
+    and the solid-angle pdf. Consumes 3 masked draws.
+
+    TWO gathers total (meta row + light-tri row): XLA gathers are
+    row-throughput-bound (~25 ns/row at 2M lanes), so the 6 narrow gathers
+    this used to issue cost ~300 ms/bounce at 1080p — the packed tables are
+    the NEE analog of tri_shade/mat_packed."""
     l_used = min(scene.num_lights, cfg.max_lights)
     sel_c = jnp.clip(sel, 0, l_used - 1)
-    first = scene.light_first_tri[sel_c]
-    num_tris = scene.light_num_tris[sel_c]
+    meta = scene.light_meta_packed[sel_c]  # [N,8] — gather 1
+    first = meta[:, 0].astype(jnp.int32)
+    num_tris = meta[:, 1].astype(jnp.int32)
 
     r_tri, seed = rng.rnd_masked(seed, active)
     tri_local = jnp.minimum(
         (r_tri * num_tris.astype(jnp.float32)).astype(jnp.int32),
         num_tris - 1,
     )
-    ti = jnp.clip(first + tri_local, 0, scene.light_tri_v0.shape[0] - 1)
-    v0 = scene.light_tri_v0[ti]
-    e1 = scene.light_tri_e1[ti]
-    e2 = scene.light_tri_e2[ti]
+    ti = jnp.clip(first + tri_local, 0, scene.light_tri_packed.shape[0] - 1)
+    trow = scene.light_tri_packed[ti]  # [N,12] — gather 2
+    v0 = trow[:, 0:3]
+    e1 = trow[:, 3:6]
+    e2 = trow[:, 6:9]
 
     r1, seed = rng.rnd_masked(seed, active)
     r2, seed = rng.rnd_masked(seed, active)
@@ -353,8 +360,9 @@ def _sample_light(scene, sel, hit_pos, seed, active, cfg: RenderConfig):
         * (1.0 / jnp.maximum(area, 1e-20))
         * dist * dist / jnp.maximum(cos_theta_l, 1e-20)
     )
-    emission = scene.light_emission[sel_c]
-    return pos, normal, direction, dist, pdf, emission, valid, seed
+    emission = meta[:, 2:5]
+    light_obj = meta[:, 5].astype(jnp.int32)
+    return pos, normal, direction, dist, pdf, emission, light_obj, valid, seed
 
 
 class SurfaceHit(NamedTuple):
@@ -377,6 +385,8 @@ class SurfaceHit(NamedTuple):
     transmission: jnp.ndarray  # f32[N]
     ior: jnp.ndarray  # f32[N]
     dispersion: jnp.ndarray  # f32[N]
+    light_index: jnp.ndarray  # i32[N] owning object's light (-1 if none)
+    light_num_tris: jnp.ndarray  # f32[N] that light's triangle count
 
 
 def fetch_surface(scene, hit, ray_dir, lane) -> SurfaceHit:
@@ -421,6 +431,8 @@ def fetch_surface(scene, hit, ray_dir, lane) -> SurfaceHit:
         transmission=mrow[:, 9],
         ior=mrow[:, 10],
         dispersion=mrow[:, 11],
+        light_index=row[:, 20].astype(jnp.int32),
+        light_num_tris=row[:, 21],
     )
 
 
@@ -503,7 +515,8 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig,
         sel_w = jnp.take_along_axis(weights, sel_c[:, None], axis=1)[:, 0]
         light_sel_pdf = sel_w / jnp.maximum(total_w, 1e-20)
 
-        (l_pos, _l_nrm, l_dir, _l_dist, l_pdf, l_emission, l_valid, seed
+        (l_pos, _l_nrm, l_dir, _l_dist, l_pdf, l_emission, light_obj,
+         l_valid, seed
          ) = _sample_light(scene, selected, world_pos, seed, m_samp, cfg)
 
         wi_local = world_to_local(l_dir, basis)
@@ -518,7 +531,6 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig,
         sr = l_pos - offset_from
         sr_dist = length(sr)
         sr_dir = sr / jnp.maximum(sr_dist, 1e-20)[:, None]
-        light_obj = scene.light_object[sel_c]
         occ = _occluded(
             scene, offset_from, sr_dir, sr_dist * 0.999, light_obj, cfg,
             consider & (sr_dist > 0.0),
@@ -579,17 +591,18 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig,
             color,
         )
         if scene.num_lights > 0:
-            light_idx = scene.obj_light_index[obj]
+            # Owning-light index + triangle count ride in the tri_shade row
+            # (no extra gathers).
+            light_idx = surf.light_index
             add_mis = (
                 surface_lane & is_emissive
                 & ~(state.first_bounce | state.is_specular)
                 & ~state.did_direct & (light_idx >= 0)
             )
-            li_c = jnp.clip(light_idx, 0, scene.num_lights - 1)
             d = length(world_pos - state.prev_hit_pos)
             cos_light = jnp.maximum(0.0, dot(world_nrm, -ray_dir))
             tri_area = 0.5 * length(cross(e1, e2))
-            num_tris_l = scene.light_num_tris[li_c].astype(jnp.float32)
+            num_tris_l = surf.light_num_tris
             pdf_geo = (
                 (1.0 / jnp.maximum(num_tris_l, 1.0))
                 * (1.0 / jnp.maximum(tri_area, 1e-20))
@@ -871,11 +884,10 @@ def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
     return radiance
 
 
-def render_frame(scene, camera_ubo, accum, frame_number, cfg: RenderConfig):
-    """Progressive accumulation step (simple.rgen:127-136): returns the new
-    accumulation buffer f32[N,3]. jit this (scene/cfg static via closure or
-    static_argnums)."""
-    radiance = render_wavefront(scene, camera_ubo, frame_number, cfg)
+def accumulate(accum, radiance, frame_number):
+    """The progressive running mean (simple.rgen:127-136): frame 0 stores,
+    later frames blend with weight 1/(frame+1). The ONE accumulation formula
+    — wavefront, ReSTIR and sharded paths all share it."""
     frame_f = jnp.asarray(frame_number, jnp.float32)
     a = 1.0 / (frame_f + 1.0)
     return jnp.where(
@@ -883,3 +895,11 @@ def render_frame(scene, camera_ubo, accum, frame_number, cfg: RenderConfig):
         radiance,
         accum + (radiance - accum) * a,
     )
+
+
+def render_frame(scene, camera_ubo, accum, frame_number, cfg: RenderConfig):
+    """Progressive accumulation step (simple.rgen:127-136): returns the new
+    accumulation buffer f32[N,3]. jit this (scene/cfg static via closure or
+    static_argnums)."""
+    radiance = render_wavefront(scene, camera_ubo, frame_number, cfg)
+    return accumulate(accum, radiance, frame_number)

@@ -78,10 +78,27 @@ def stack_fits(max_depth: int) -> bool:
 
 
 def _check(scene):
-    assert stack_fits(scene.bvh_max_depth), (
-        f"BVH depth {scene.bvh_max_depth} exceeds the sub-packet kernel's "
+    depth = getattr(scene, "kernel_max_depth", scene.bvh_max_depth)
+    assert stack_fits(depth), (
+        f"BVH depth {depth} exceeds the sub-packet kernel's "
         f"per-row stack (CAP={CAP}); use accel='bvh'"
     )
+
+
+def _scene_parts(scene):
+    """Per-part (root_meta, pmeta, pnodes, ptris) views. Scenes whose packed
+    arrays exceed the VMEM budget are baked as subtree parts with a leading
+    [P] axis (scene/device_scene.py:_pack_pallas_parts); the kernels then run
+    one sequential pass per part, folding best-t / the occlusion mask across
+    passes — the VMEM analog of the reference's 256 MB-batched AS builds
+    (gpu_scene.odin:279-315)."""
+    p = getattr(scene, "num_parts", 1)
+    if p <= 1:
+        return [(scene.root_meta, scene.pmeta, scene.pnodes, scene.ptris)]
+    return [
+        (scene.root_meta[k], scene.pmeta[k], scene.pnodes[k], scene.ptris[k])
+        for k in range(p)
+    ]
 
 
 def _rowmask_f(valids):
@@ -529,10 +546,25 @@ def intersect_bvh_subpacket(origin, direction, scene, t_min, t_max,
     ox, oy, oz, dx, dy, dz = _ray_tiles(origin, direction, n_tiles)
     tmax_t = _to_tiles(t_max, n_tiles, fill=1e-3)
 
-    t, tri, u, v = _run_closest(
-        ox, oy, oz, dx, dy, dz, tmax_t, scene.root_meta, scene.pmeta,
-        scene.pnodes, scene.ptris, interpret,
-    )
+    # Sequential per-part passes; the running best-t is each next pass's
+    # t-cap, so later parts prune against earlier hits. A part hit
+    # (tri >= 0) is strictly closer than the cap by construction.
+    t = tmax_t
+    tri = None
+    u = v = None
+    for root_meta, pmeta, pnodes, ptris in _scene_parts(scene):
+        tp, trip, up, vp = _run_closest(
+            ox, oy, oz, dx, dy, dz, t, root_meta, pmeta, pnodes, ptris,
+            interpret,
+        )
+        if tri is None:
+            t, tri, u, v = tp, trip, up, vp
+        else:
+            take = trip >= 0
+            t = jnp.where(take, tp, t)
+            tri = jnp.where(take, trip, tri)
+            u = jnp.where(take, up, u)
+            v = jnp.where(take, vp, v)
     flat = lambda a: a.reshape(-1)[:r]
     tri = flat(tri)
     return HitRecord(t=flat(t), tri=tri, u=flat(u), v=flat(v), hit=tri >= 0)
@@ -555,8 +587,14 @@ def occlusion_bvh_subpacket(origin, direction, t_min, t_max, scene,
     tmax_t = _to_tiles(t_max, n_tiles, fill=1e-3)
     skip_t = _to_tiles(jnp.asarray(skip_object, jnp.int32), n_tiles, fill=-1)
 
-    (occ,) = _run_occlusion(
-        ox, oy, oz, dx, dy, dz, tmax_t, skip_t, scene.root_meta, scene.pmeta,
-        scene.pnodes, scene.ptris, interpret,
-    )
+    # Sequential per-part passes; already-occluded lanes stop traversing in
+    # later parts (their t-cap collapses to t_min).
+    occ = None
+    for root_meta, pmeta, pnodes, ptris in _scene_parts(scene):
+        t_eff = tmax_t if occ is None else jnp.where(occ > 0, 1e-3, tmax_t)
+        (occ_p,) = _run_occlusion(
+            ox, oy, oz, dx, dy, dz, t_eff, skip_t, root_meta, pmeta,
+            pnodes, ptris, interpret,
+        )
+        occ = occ_p if occ is None else jnp.maximum(occ, occ_p)
     return occ.reshape(-1)[:r] > 0

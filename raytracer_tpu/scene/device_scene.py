@@ -132,15 +132,41 @@ class SceneOnDevice:
     # --- per-object light index (-1 if not a light), for emissive-hit MIS ---
     obj_light_index: jax.Array  # i32[O]
 
+    # Single-row packed light tables: the NEE and ReSTIR samplers gather
+    # per-lane light data, and XLA gathers are ROW-throughput-bound
+    # (~40-80M rows/s — width is free), so 3-6 narrow gathers collapse into
+    # one wide one (same trick as tri_shade/mat_packed).
+    # light_meta_packed f32[L,8]: first_tri_f, num_tris_f, emission rgb,
+    #   object_f, power, pad (ints exact as f32, < 2^24).
+    # light_tri_packed f32[LT,12]: v0(3) e1(3) e2(3) object_f light_index_f
+    #   light_num_tris_f — original pre-BVH triangle order like light_tri_*.
+    light_meta_packed: jax.Array
+    light_tri_packed: jax.Array
+
     # --- static metadata ---
     num_triangles: int = dataclasses.field(metadata=dict(static=True))
     num_lights: int = dataclasses.field(metadata=dict(static=True))
     num_objects: int = dataclasses.field(metadata=dict(static=True))
     # Max BVH node depth (root=0). The Pallas packet kernel's SMEM stack
-    # holds at most depth+2 entries along any DFS; callers must check this
+    # holds at most depth+2 entries per DFS; callers must check this
     # against STACK_CAP instead of assuming balanced trees.
     bvh_max_depth: int = dataclasses.field(
         default=0, metadata=dict(static=True)
+    )
+    # Scenes whose packed traversal arrays exceed the VMEM budget are cut
+    # into `num_parts` SUBTREE parts of the one global SAH tree (each part =
+    # a contiguous preorder slice); pnodes/ptris/root_meta/pmeta then carry a
+    # leading [P] axis and the sub-packet kernel folds best-t (closest) or
+    # the occlusion mask across sequential per-part passes. The reference
+    # handles arbitrary scene sizes with 256 MB-batched AS builds
+    # (gpu_scene.odin:279-315); on TPU the analog is batching the VMEM
+    # working set, not the build.
+    num_parts: int = dataclasses.field(
+        default=1, metadata=dict(static=True)
+    )
+    # Max node depth across parts (kernel stack check); -1 = bvh_max_depth.
+    part_max_depth: int = dataclasses.field(
+        default=-1, metadata=dict(static=True)
     )
 
     @property
@@ -148,10 +174,16 @@ class SceneOnDevice:
         return self.nodes_skip.shape[0]
 
     @property
+    def kernel_max_depth(self) -> int:
+        return (self.part_max_depth if self.part_max_depth >= 0
+                else self.bvh_max_depth)
+
+    @property
     def pallas_vmem_bytes(self) -> int:
-        """VMEM footprint of the packet-kernel scene arrays (rows pad their
-        last dim to 128 lanes in VMEM)."""
-        return (self.pnodes.shape[0] + self.ptris.shape[0]) * 128 * 4
+        """VMEM footprint of the packet-kernel scene arrays PER PASS (rows
+        pad their last dim to 128 lanes in VMEM; with parts, one part is
+        resident at a time)."""
+        return (self.pnodes.shape[-2] + self.ptris.shape[-2]) * 128 * 4
 
 
 def _pad_rows(a: np.ndarray, total: int, fill=0.0) -> np.ndarray:
@@ -204,7 +236,8 @@ def _pack_traversal_arrays(bvh, v0, e1, e2, tri_object, leaf_size):
     return nodes_packed, tris_packed
 
 
-def _pack_tri_shade(v0, e1, e2, n0, n1, n2, obj, mat):
+def _pack_tri_shade(v0, e1, e2, n0, n1, n2, obj, mat,
+                    obj_light_index=None, obj_light_num=None):
     t = len(v0)
     out = np.zeros((t, 24), np.float32)
     out[:, 0:3] = v0
@@ -215,6 +248,17 @@ def _pack_tri_shade(v0, e1, e2, n0, n1, n2, obj, mat):
     out[:, 15:18] = n2
     out[:, 18] = obj.astype(np.float32)
     out[:, 19] = mat.astype(np.float32)
+    # Owning object's light index (-1 if not a light) and that light's
+    # triangle count ride along in the already-gathered row, so the
+    # emissive-hit MIS path (simple.rchit:654-676) needs NO extra gathers.
+    if obj_light_index is not None:
+        oc = np.clip(obj, 0, len(obj_light_index) - 1)
+        out[:, 20] = np.where(obj >= 0, obj_light_index[oc], -1).astype(
+            np.float32)
+        out[:, 21] = np.where(obj >= 0, obj_light_num[oc], 0).astype(
+            np.float32)
+    else:
+        out[:, 20] = -1.0
     return out
 
 
@@ -291,9 +335,93 @@ def _pack_pallas_arrays(bvh, v0, e1, e2, tri_object, leaf_size):
     return pnodes, ptris, root_meta, pmeta
 
 
+def _cut_parts(bvh, budget_bytes: int):
+    """Cut the global tree into the shallowest set of subtrees whose packed
+    pallas arrays each fit `budget_bytes` (each pnodes/ptris row costs
+    128 lanes x 4 B = 512 B of VMEM). Returns [(i, j)] preorder node ranges
+    covering the whole tree, in preorder (= spatial DFS) order."""
+    is_leaf = bvh.nodes_count > 0
+    leaf_psum = np.concatenate([[0], np.cumsum(is_leaf)])
+    budget_rows = budget_bytes // 512
+    parts = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        j = int(bvh.nodes_skip[i])
+        nb = int(leaf_psum[j] - leaf_psum[i])
+        ni = (j - i) - nb
+        if max(nb, 1) + max(ni, 1) <= budget_rows or is_leaf[i]:
+            parts.append((i, j))
+        else:
+            left = i + 1
+            right = int(bvh.nodes_skip[left])
+            stack.append(right)
+            stack.append(left)
+    parts.sort()
+    # Ancestor internal nodes above the cut belong to no part (each part
+    # re-roots); what must hold is that the parts are disjoint and cover
+    # every LEAF exactly once.
+    covered = sum(int(leaf_psum[j] - leaf_psum[i]) for i, j in parts)
+    assert covered == int(leaf_psum[-1]), (covered, int(leaf_psum[-1]))
+    for (a, b), (c, d) in zip(parts, parts[1:]):
+        assert b <= c, "overlapping parts"
+    return parts
+
+
+def _slice_bvh(bvh, i: int, j: int) -> BVH:
+    """View the subtree [i, j) of the flattened preorder arrays as a
+    standalone BVH. Skip links are rebased (exits clamp to the slice end);
+    `nodes_first` keeps indexing the GLOBAL permuted triangle rows, so packed
+    leaf blocks carry global tri ids with no re-store."""
+    size = j - i
+    parent = bvh.parent[i:j] - i
+    parent = parent.copy()
+    parent[0] = -1
+    return BVH(
+        nodes_min=bvh.nodes_min[i:j],
+        nodes_max=bvh.nodes_max[i:j],
+        nodes_skip=np.minimum(bvh.nodes_skip[i:j] - i, size).astype(np.int32),
+        nodes_first=bvh.nodes_first[i:j],
+        nodes_count=bvh.nodes_count[i:j],
+        tri_order=bvh.tri_order,
+        parent=parent,
+    )
+
+
+def _pack_pallas_parts(bvh, v0p, e1p, e2p, tri_object_p, leaf_size,
+                       budget_bytes):
+    """Per-part packed pallas arrays, padded to the largest part and stacked
+    with a leading [P] axis. Returns (pnodes, ptris, root_meta, pmeta,
+    part_max_depth)."""
+    parts = _cut_parts(bvh, budget_bytes)
+    packs = []
+    max_depth = 0
+    for (i, j) in parts:
+        sb = _slice_bvh(bvh, i, j)
+        packs.append(_pack_pallas_arrays(
+            sb, v0p, e1p, e2p, tri_object_p, leaf_size
+        ))
+        max_depth = max(max_depth, sb.max_depth())
+    p = len(packs)
+    ni = max(pk[0].shape[0] for pk in packs)
+    nb = max(pk[1].shape[0] for pk in packs)
+    w = packs[0][1].shape[1]
+    pnodes = np.zeros((p, ni, 16), np.float32)
+    ptris = np.zeros((p, nb, w), np.float32)
+    root_meta = np.zeros((p, 1), np.int32)
+    pmeta = np.zeros((p, 2 * ni), np.int32)
+    for k, (pn, pt, rm, pm) in enumerate(packs):
+        pnodes[k, : pn.shape[0]] = pn
+        ptris[k, : pt.shape[0]] = pt
+        root_meta[k] = rm
+        pmeta[k, : pm.shape[0]] = pm
+    return pnodes, ptris, root_meta, pmeta, max_depth
+
+
 def bake_scene(scene: Scene, leaf_size: int = 8,
                device_put: bool = True,
-               reuse_bvh: BVH = None) -> Tuple[SceneOnDevice, BVH]:
+               reuse_bvh: BVH = None,
+               pallas_budget_bytes: int = None) -> Tuple[SceneOnDevice, BVH]:
     """Flatten + world-transform + BVH-build a CPU Scene.
 
     The analog of gpu_scene_init/bake (gpu_scene.odin:45,77-118). Returns
@@ -399,8 +527,42 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
     pnodes, ptris, root_meta, pmeta = _pack_pallas_arrays(
         bvh, v0p, e1p, e2p, tri_object_p, leaf_size
     )
+    num_parts = 1
+    part_max_depth = -1
+    if (pallas_budget_bytes is not None
+            and pallas_budget_bytes >= (1 << 20)  # degenerate budgets fall
+            # back to the single-part bake (api then picks accel='bvh')
+            and (pnodes.shape[0] + ptris.shape[0]) * 512
+            > pallas_budget_bytes):
+        pnodes, ptris, root_meta, pmeta, part_max_depth = _pack_pallas_parts(
+            bvh, v0p, e1p, e2p, tri_object_p, leaf_size, pallas_budget_bytes
+        )
+        num_parts = pnodes.shape[0]
 
     materials = scene.materials
+
+    # --- packed light tables (see SceneOnDevice field docs) ---
+    light_emission_arr = np.asarray(light_emission, np.float32).reshape(
+        num_lights, 3)
+    light_meta = np.zeros((num_lights, 8), np.float32)
+    if num_lights:
+        assert max(light_first) < (1 << 24) and max(light_count) < (1 << 24)
+        light_meta[:, 0] = np.asarray(light_first, np.float32)
+        light_meta[:, 1] = np.asarray(light_count, np.float32)
+        light_meta[:, 2:5] = light_emission_arr
+        light_meta[:, 5] = np.asarray(light_object, np.float32)
+        light_meta[:, 6] = np.asarray(light_power, np.float32)
+    obj_light_num = np.zeros(len(scene.objects), np.int32)
+    if num_lights:
+        obj_light_num[np.asarray(light_object, np.int64)] = np.asarray(
+            light_count, np.int32)
+    light_tri_packed = np.zeros((num_tris, 12), np.float32)
+    light_tri_packed[:, 0:3] = v0
+    light_tri_packed[:, 3:6] = e1
+    light_tri_packed[:, 6:9] = e2
+    light_tri_packed[:, 9] = tri_object.astype(np.float32)
+    light_tri_packed[:, 10] = obj_light_index[tri_object].astype(np.float32)
+    light_tri_packed[:, 11] = obj_light_num[tri_object].astype(np.float32)
 
     def as_device(x):
         return jax.device_put(x) if device_put else x
@@ -442,6 +604,7 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
                 _pad_rows(n1p, t_pad), _pad_rows(n2p, t_pad),
                 _pad_rows(tri_object_p, t_pad, fill=-1),
                 _pad_rows(tri_material_p, t_pad, fill=0),
+                obj_light_index, obj_light_num,
             )
         ),
         mat_packed=as_device(_pack_materials(materials)),
@@ -492,10 +655,14 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
         light_tri_e2=as_device(np.ascontiguousarray(e2)),
         light_tri_object=as_device(np.ascontiguousarray(tri_object)),
         obj_light_index=as_device(obj_light_index),
+        light_meta_packed=as_device(light_meta),
+        light_tri_packed=as_device(light_tri_packed),
         num_triangles=num_tris,
         num_lights=num_lights,
         num_objects=len(scene.objects),
         bvh_max_depth=bvh.max_depth(),
+        num_parts=num_parts,
+        part_max_depth=part_max_depth,
     )
     return ds, bvh
 
@@ -553,4 +720,17 @@ def update_materials(ds: SceneOnDevice, scene: Scene) -> SceneOnDevice:
         mat_packed=jax.device_put(_pack_materials(mats)),
         light_emission=jax.device_put(light_emission),
         light_power=jax.device_put(light_power),
+        light_meta_packed=jax.device_put(_refresh_light_meta(
+            np.asarray(ds.light_meta_packed), light_emission, light_power
+        )),
     )
+
+
+def _refresh_light_meta(meta: np.ndarray, light_emission: np.ndarray,
+                        light_power: np.ndarray) -> np.ndarray:
+    """Material edits change only the emission/power slots of the packed
+    light meta rows (the in-place material-SSBO-write analog)."""
+    meta = meta.copy()
+    meta[:, 2:5] = light_emission
+    meta[:, 6] = light_power
+    return meta

@@ -82,6 +82,49 @@ def test_occlusion_skip_object_and_tmax(rng_np):
     np.testing.assert_array_equal(np.asarray(occ), [True, False, False])
 
 
+def test_multi_part_scene_matches_single(rng_np):
+    """Scenes exceeding the VMEM budget bake into subtree parts; sequential
+    per-part passes folding best-t / the occlusion mask must be hit-identical
+    to the single-part kernel."""
+    from raytracer_tpu.scene.device_scene import bake_scene
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    scene = create_cornell_box()
+    ds1, _ = bake_scene(scene)
+    # ~6k tris pack into ~0.8 MB of rows; a 96 KB budget forces many parts.
+    dsp, _ = bake_scene(scene, pallas_budget_bytes=96 * 1024)
+    assert dsp.num_parts > 1
+    assert dsp.pallas_vmem_bytes <= 96 * 1024
+    assert dsp.part_max_depth >= 0
+
+    r = 900
+    o = rng_np.uniform(-1, 1, (r, 3)).astype(np.float32) * np.asarray(
+        [2.0, 2.0, 2.0], np.float32)
+    d = rng_np.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    ref = intersect_bvh_subpacket(o, d, ds1, 1e-3, 1e4, interpret=True)
+    got = intersect_bvh_subpacket(o, d, dsp, 1e-3, 1e4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    hits = np.asarray(ref.hit)
+    np.testing.assert_array_equal(
+        np.asarray(ref.tri)[hits], np.asarray(got.tri)[hits]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.t)[hits], np.asarray(got.t)[hits], rtol=1e-6,
+        atol=1e-6,
+    )
+
+    t_max = jnp.full((r,), 1e4, jnp.float32)
+    skip = jnp.full((r,), -1, jnp.int32)
+    occ1 = occlusion_bvh_subpacket(o, d, 1e-3, t_max, ds1, skip,
+                                   interpret=True)
+    occp = occlusion_bvh_subpacket(o, d, 1e-3, t_max, dsp, skip,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occp))
+
+
 def test_single_leaf_root(rng_np):
     """A scene small enough that the BVH root is one leaf block (leaves
     never transit the stack — the init path must route the root into the

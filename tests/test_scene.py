@@ -198,6 +198,31 @@ def test_pallas_vmem_fallback():
         api.PALLAS_VMEM_BUDGET = old
 
 
+def test_pallas_oversized_scene_bakes_parts():
+    """Scenes whose packed arrays exceed the VMEM budget stay on the pallas
+    kernel via multi-part subtree bakes (no more XLA-walk fallback); hit
+    parity of the per-part passes is covered in test_pallas_subpacket."""
+    from raytracer_tpu.api import ProgressiveRenderer
+    from raytracer_tpu.scene.benchmark import create_benchmark_atrium
+    from raytracer_tpu.utils.config import RenderConfig
+
+    import raytracer_tpu.api as api
+
+    cfg = RenderConfig(width=8, height=8, accel="pallas")
+    old = api.PALLAS_VMEM_BUDGET
+    try:
+        api.PALLAS_VMEM_BUDGET = 2 << 20
+        r = ProgressiveRenderer(create_benchmark_atrium(40_000), None, cfg)
+        assert r.config.accel == "pallas"
+        ds = r.device_scene
+        assert ds.num_parts > 1
+        assert ds.pallas_vmem_bytes <= 2 << 20
+        assert 0 <= ds.part_max_depth <= ds.bvh_max_depth
+        assert ds.kernel_max_depth == ds.part_max_depth
+    finally:
+        api.PALLAS_VMEM_BUDGET = old
+
+
 def test_gltf_trs_decompose_roundtrip():
     """Loader TRS fields must regenerate the node matrix under the Transform
     contract (T*Rx*Ry*Rz*S), so a later transform edit doesn't mangle

@@ -217,7 +217,7 @@ def shadow_rays_at(ds, ubo, cfg, n, bounce):
         m_samp = m_sel & found
         l_used = min(ds.num_lights, cfg.max_lights)
         sel_c = jnp.clip(selected, 0, l_used - 1)
-        (l_pos, _n, l_dir, _d, _p, _e, l_valid, seed) = wf._sample_light(
+        (l_pos, _n, l_dir, _d, _p, _e, _lo, l_valid, seed) = wf._sample_light(
             ds, selected, surf.world_pos, seed, m_samp, cfg)
         basis = make_basis(surf.world_nrm)
         wi_local = world_to_local(l_dir, basis)
