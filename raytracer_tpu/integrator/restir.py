@@ -154,15 +154,17 @@ def _sample_light_point(scene, tri_global, r1, r2, cfg):
     (u_tri, r1) and derived r2 via a deterministic fold of the two, which
     confines samples to a 1-D curve while the pdf assumes uniform area
     sampling: measured +8% energy bias on Cornell.)"""
-    ti = jnp.clip(tri_global, 0, scene.light_tri_v0.shape[0] - 1)
-    v0 = scene.light_tri_v0[ti]
-    e1 = scene.light_tri_e1[ti]
-    e2 = scene.light_tri_e2[ti]
-    obj = scene.light_tri_object[ti]
-    light_idx = scene.obj_light_index[jnp.clip(obj, 0, scene.num_objects - 1)]
+    ti = jnp.clip(tri_global, 0, scene.light_tri_packed.shape[0] - 1)
+    # ONE wide row gather instead of 5 narrow chained ones (gathers are
+    # row-throughput-bound; see light_tri_packed docs).
+    trow = scene.light_tri_packed[ti]
+    v0 = trow[:, 0:3]
+    e1 = trow[:, 3:6]
+    e2 = trow[:, 6:9]
+    light_idx = trow[:, 10].astype(jnp.int32)
+    num_tris = trow[:, 11].astype(jnp.int32)
     l_used = min(scene.num_lights, cfg.max_lights)
     sel = jnp.clip(light_idx, 0, max(l_used - 1, 0))
-    num_tris = scene.light_num_tris[sel]
     sqrt_r1 = jnp.sqrt(r1)
     bu = 1.0 - sqrt_r1
     bv = sqrt_r1 * (1.0 - r2)
@@ -223,16 +225,47 @@ def _unshadowed_radiance(scene, gbuf, wo_world, tri_global, uv, cfg):
     return radiance, dist, pos, wi, valid
 
 
+def _exchange_halo(tree, h: int, axis_name: str, num_tiles: int):
+    """Extend each [n_local, ...] array with `h` boundary rows from the
+    previous and next tile over `axis_name` (one ppermute pair per direction
+    — the ICI halo exchange for cross-tile spatial reuse). Edge tiles get
+    zero rows on their missing side, which deserialize as empty reservoirs /
+    degenerate normals and are masked off by the callers' validity gates."""
+
+    def ex(a):
+        if num_tiles <= 1:
+            pad = jnp.zeros((h,) + a.shape[1:], a.dtype)
+            return jnp.concatenate([pad, a, pad], axis=0)
+        down = a[-h:]  # tile i's last rows -> tile i+1's leading halo
+        up = a[:h]  # tile i's first rows -> tile i-1's trailing halo
+        perm_fwd = [(i, i + 1) for i in range(num_tiles - 1)]
+        perm_bwd = [(i + 1, i) for i in range(num_tiles - 1)]
+        from_prev = jax.lax.ppermute(down, axis_name, perm_fwd)
+        from_next = jax.lax.ppermute(up, axis_name, perm_bwd)
+        return jnp.concatenate([from_prev, a, from_next], axis=0)
+
+    return jax.tree_util.tree_map(ex, tree)
+
+
 def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
-                  cfg: RenderConfig, occlusion_fn):
+                  cfg: RenderConfig, occlusion_fn, pixel_start=0,
+                  num_tiles: int = 1, axis_name=None):
     """Full ReSTIR DI pipeline steps 2-6. Returns (direct_radiance f32[N,3],
-    reservoir for the next frame)."""
+    reservoir for the next frame).
+
+    With `axis_name` set (shard_map tile context), lanes cover the GLOBAL
+    pixel range [pixel_start, pixel_start+N) and step 5's spatial taps
+    crossing the tile boundary are served from halo rows ppermute'd from the
+    neighboring tiles — bit-identical to the single-chip pass whenever the
+    halo (min((radius+1)·width, N) rows) covers the tap radius."""
     n = gbuf.position.shape[0]
     l_used = min(scene.num_lights, cfg.max_lights)
     if l_used == 0:
         return jnp.zeros((n, 3), jnp.float32), Reservoir.empty(n)
 
-    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+    pixel_idx = (
+        jnp.asarray(pixel_start, jnp.uint32) + jnp.arange(n, dtype=jnp.uint32)
+    )
     seed = rng.tea(
         pixel_idx,
         jnp.asarray(frame_number, jnp.uint32) ^ jnp.uint32(0x9E3779B9),
@@ -265,15 +298,17 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
         sel_c = jnp.clip(light, 0, l_used - 1)
         sel_w = jnp.take_along_axis(weights, sel_c[:, None], axis=1)[:, 0]
         # Uniform triangle pick within the light -> global light-tri id (the
-        # reservoir's sample identity, with uv = the point on it).
-        num_tris = scene.light_num_tris[sel_c]
+        # reservoir's sample identity, with uv = the point on it). One meta
+        # row gather serves first_tri + num_tris.
+        meta = scene.light_meta_packed[sel_c]
+        num_tris = meta[:, 1].astype(jnp.int32)
         tri_local = jnp.minimum(
             (r_tri * num_tris.astype(jnp.float32)).astype(jnp.int32),
             num_tris - 1,
         )
         tri_global = jnp.where(
             found,
-            jnp.clip(scene.light_first_tri[sel_c] + tri_local, 0,
+            jnp.clip(meta[:, 0].astype(jnp.int32) + tri_local, 0,
                      lt_count - 1),
             -1,
         )
@@ -340,6 +375,16 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
 
     # --- 5. spatial reuse ---
     width = cfg.width
+    halo = 0
+    normal_ext = None
+    if axis_name is not None:
+        # A tap moves at most `radius` rows plus one partial row in the
+        # flattened index, so (radius+1)·width halo rows give exact coverage;
+        # clamping to the tile size keeps tiny tiles legal (taps beyond the
+        # clamped halo are dropped by `reach`, the documented bias case).
+        halo = min((int(cfg.restir_spatial_radius) + 1) * width, n)
+        normal_ext = _exchange_halo(gbuf.normal, halo, axis_name, num_tiles)
+    start_i32 = jnp.asarray(pixel_start, jnp.uint32).astype(jnp.int32)
     for _ in range(cfg.restir_spatial_neighbors):
         r_a, seed = rng.rnd(seed)
         r_b, seed = rng.rnd(seed)
@@ -353,17 +398,42 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
         in_bounds = (
             (px >= 0) & (px < width) & (py >= 0) & (py < cfg.height)
         )
-        nbr = jnp.clip(py * width + px, 0, n - 1)
-        nbr_res = jax.tree_util.tree_map(lambda a: a[nbr], res)
+        if axis_name is None:
+            nbr = jnp.clip(py * width + px, 0, n - 1)
+            nbr_res = jax.tree_util.tree_map(lambda a: a[nbr], res)
+            nbr_normal = gbuf.normal[nbr]
+            reach = in_bounds
+        else:
+            # The reservoir evolves every iteration, so the halo is
+            # re-exchanged per tap round (2 ppermutes of 5 small arrays).
+            # Only the fields _reservoir_merge reads travel.
+            ext = _exchange_halo(
+                {"m": res.m, "w": res.w, "light_index": res.light_index,
+                 "uv": res.uv, "distance": res.distance},
+                halo, axis_name, num_tiles,
+            )
+            ext_idx = py * width + px - start_i32 + halo
+            reach = in_bounds & (ext_idx >= 0) & (ext_idx < n + 2 * halo)
+            idx = jnp.clip(ext_idx, 0, n + 2 * halo - 1)
+            nbr_res = Reservoir(
+                weight_sum=jnp.zeros(n, jnp.float32),  # not read by merge
+                target_pdf=jnp.zeros(n, jnp.float32),  # not read by merge
+                m=ext["m"][idx],
+                light_index=ext["light_index"][idx],
+                uv=ext["uv"][idx],
+                distance=ext["distance"][idx],
+                w=ext["w"][idx],
+            )
+            nbr_normal = normal_ext[idx]
         # Geometric similarity gate (normal + depth proximity) to limit bias.
-        nrm_ok = dot(gbuf.normal[nbr], gbuf.normal) > 0.9
+        nrm_ok = dot(nbr_normal, gbuf.normal) > 0.9
         nbr_rad, _, _, _, nbr_valid = _unshadowed_radiance(
             scene, gbuf, wo_world, nbr_res.light_index, nbr_res.uv, cfg
         )
         target_here = luminance_rec601(nbr_rad)
         res = _reservoir_merge(
             res, nbr_res, target_here, r_m,
-            in_bounds & nrm_ok & nbr_valid & (nbr_res.w > 0.0) & gbuf.hit,
+            reach & nrm_ok & nbr_valid & (nbr_res.w > 0.0) & gbuf.hit,
         )
     res = _finalize(res)
 
@@ -392,19 +462,26 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
 
 
 def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
-                            cfg: RenderConfig):
+                            cfg: RenderConfig, pixel_start=0, num_pixels=None,
+                            num_tiles: int = 1, axis_name=None):
     """One progressive sample with ReSTIR DI at the primary vertex and
     path-traced indirect bounces. Returns (radiance f32[N,3], reservoir).
 
     The primary trace doubles as the G-buffer pass (restir.rgen); the
     standard _shade machinery runs with suppress_nee=True at the primary
     vertex (emission of directly visible emitters still adds, exactly like
-    simple.rchit's firstBounce path) and normally afterwards."""
+    simple.rchit's firstBounce path) and normally afterwards.
+
+    `pixel_start`/`num_pixels`/`num_tiles`/`axis_name` carve out a shard_map
+    tile (parallel/sharding.py): seeds and camera rays stay GLOBAL, and
+    spatial reuse crosses the tile boundary via halo exchange."""
     from raytracer_tpu.integrator import wavefront as wf
 
     cfg = cfg.resolve_accel()
-    n = cfg.num_pixels
-    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+    n = cfg.num_pixels if num_pixels is None else num_pixels
+    pixel_idx = (
+        jnp.asarray(pixel_start, jnp.uint32) + jnp.arange(n, dtype=jnp.uint32)
+    )
     frame_u32 = jnp.asarray(frame_number, jnp.uint32)
     seed0 = rng.seed_pixels(pixel_idx, frame_u32)
 
@@ -467,7 +544,8 @@ def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
 
     direct, reservoir = restir_direct(
         scene, gbuf, direction, prev_reservoir, frame_number, cfg,
-        occlusion_fn,
+        occlusion_fn, pixel_start=pixel_start, num_tiles=num_tiles,
+        axis_name=axis_name,
     )
 
     # --- primary shading (BRDF sample + emission, NEE suppressed) ---
@@ -553,17 +631,15 @@ def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
 
 
 def render_frame_restir(scene, camera_ubo, accum, prev_reservoir,
-                        frame_number, cfg: RenderConfig):
+                        frame_number, cfg: RenderConfig, pixel_start=0,
+                        num_pixels=None, num_tiles: int = 1, axis_name=None):
     """Progressive accumulation step with ReSTIR DI. Returns
     (accum', reservoir)."""
     radiance, reservoir = render_wavefront_restir(
-        scene, camera_ubo, prev_reservoir, frame_number, cfg
+        scene, camera_ubo, prev_reservoir, frame_number, cfg,
+        pixel_start=pixel_start, num_pixels=num_pixels,
+        num_tiles=num_tiles, axis_name=axis_name,
     )
-    frame_f = jnp.asarray(frame_number, jnp.float32)
-    a = 1.0 / (frame_f + 1.0)
-    new_accum = jnp.where(
-        jnp.asarray(frame_number, jnp.uint32) == 0,
-        radiance,
-        accum + (radiance - accum) * a,
-    )
-    return new_accum, reservoir
+    from raytracer_tpu.integrator.wavefront import accumulate
+
+    return accumulate(accum, radiance, frame_number), reservoir

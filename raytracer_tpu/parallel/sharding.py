@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from raytracer_tpu.integrator.wavefront import render_wavefront
+from raytracer_tpu.integrator.wavefront import accumulate, render_wavefront
 from raytracer_tpu.utils.config import RenderConfig
 
 AXIS = "pixels"
@@ -74,13 +74,7 @@ def render_frame_sharded(scene, camera_ubo, accum, frame_number,
             scene, camera_ubo, frame_number, cfg,
             pixel_start=start, num_pixels=n_local,
         )
-        frame_f = jnp.asarray(frame_number, jnp.float32)
-        a = 1.0 / (frame_f + 1.0)
-        return jnp.where(
-            jnp.asarray(frame_number, jnp.uint32) == 0,
-            radiance,
-            accum_tile + (radiance - accum_tile) * a,
-        )
+        return accumulate(accum_tile, radiance, frame_number)
 
     fn = shard_map(
         tile_fn,
@@ -94,6 +88,47 @@ def render_frame_sharded(scene, camera_ubo, accum, frame_number,
     return fn(scene, camera_ubo, accum, frame_number)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(2, 3)
+)
+def render_frame_restir_sharded(scene, camera_ubo, accum, reservoir,
+                                frame_number, cfg: RenderConfig, mesh: Mesh):
+    """One ReSTIR DI progressive sample with pixel tiles sharded over `mesh`.
+
+    The reservoir state is sharded alongside the accumulation buffer; spatial
+    reuse crosses tile boundaries through per-iteration halo exchanges
+    (ppermute of the (radius+1)·width boundary rows — the ONLY in-loop
+    collective in the framework). Bit-identical to the single-chip ReSTIR
+    path whenever each tile is at least one halo tall (see
+    integrator/restir.py:restir_direct)."""
+    from raytracer_tpu.integrator.restir import render_frame_restir
+
+    n_dev = mesh.size
+    n = cfg.num_pixels
+    assert n % n_dev == 0, (
+        f"pixel count {n} not divisible by mesh size {n_dev}"
+    )
+    n_local = n // n_dev
+
+    def tile_fn(scene, camera_ubo, accum_tile, res_tile, frame_number):
+        tile = jax.lax.axis_index(AXIS)
+        start = tile.astype(jnp.uint32) * jnp.uint32(n_local)
+        return render_frame_restir(
+            scene, camera_ubo, accum_tile, res_tile, frame_number, cfg,
+            pixel_start=start, num_pixels=n_local,
+            num_tiles=n_dev, axis_name=AXIS,
+        )
+
+    fn = shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS, None), P(AXIS), P()),
+        out_specs=(P(AXIS, None), P(AXIS)),
+        check_vma=False,
+    )
+    return fn(scene, camera_ubo, accum, reservoir, frame_number)
+
+
 class ShardedProgressiveRenderer:
     """Multi-chip variant of api.ProgressiveRenderer: same semantics, pixel
     tiles spread across the mesh. The image() gather is the only collective."""
@@ -105,11 +140,6 @@ class ShardedProgressiveRenderer:
         self.mesh = mesh or make_pixel_mesh()
         self._inner = ProgressiveRenderer(scene, camera, config)
         cfg = self._inner.config
-        if cfg.use_restir:
-            raise NotImplementedError(
-                "ReSTIR's spatial reuse reads neighbor pixels across tile "
-                "boundaries; the sharded renderer does not support it yet"
-            )
         if cfg.num_pixels % self.mesh.size != 0:
             raise ValueError(
                 f"{cfg.width}x{cfg.height} pixels do not tile over "
@@ -117,6 +147,15 @@ class ShardedProgressiveRenderer:
             )
         self._inner.device_scene = replicate(self._inner.device_scene, self.mesh)
         self._inner.accum = shard_accum(self._inner.accum, self.mesh)
+        if self._inner.reservoir is not None:
+            self._inner.reservoir = self._shard_reservoir(
+                self._inner.reservoir
+            )
+
+    def _shard_reservoir(self, reservoir):
+        return jax.device_put(
+            reservoir, NamedSharding(self.mesh, P(AXIS))
+        )
 
     @property
     def config(self):
@@ -129,6 +168,10 @@ class ShardedProgressiveRenderer:
     def reset_accumulation(self):
         self._inner.reset_accumulation()
         self._inner.accum = shard_accum(self._inner.accum, self.mesh)
+        if self._inner.reservoir is not None:
+            self._inner.reservoir = self._shard_reservoir(
+                self._inner.reservoir
+            )
 
     def step(self) -> bool:
         inner = self._inner
@@ -138,14 +181,25 @@ class ShardedProgressiveRenderer:
             return False
         if not hasattr(inner.accum, "sharding") or inner.accum.sharding.is_fully_replicated:
             inner.accum = shard_accum(inner.accum, self.mesh)
-        inner.accum = render_frame_sharded(
-            inner.device_scene,
-            replicate(inner._camera_ubo_dev, self.mesh),
-            inner.accum,
-            jnp.uint32(inner.frame),
-            inner.config,
-            self.mesh,
-        )
+        if inner.config.use_restir:
+            inner.accum, inner.reservoir = render_frame_restir_sharded(
+                inner.device_scene,
+                replicate(inner._camera_ubo_dev, self.mesh),
+                inner.accum,
+                inner.reservoir,
+                jnp.uint32(inner.frame),
+                inner.config,
+                self.mesh,
+            )
+        else:
+            inner.accum = render_frame_sharded(
+                inner.device_scene,
+                replicate(inner._camera_ubo_dev, self.mesh),
+                inner.accum,
+                jnp.uint32(inner.frame),
+                inner.config,
+                self.mesh,
+            )
         inner.frame += 1
         return True
 

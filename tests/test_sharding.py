@@ -55,6 +55,39 @@ def test_indivisible_raises(mesh):
         ShardedProgressiveRenderer(create_cornell_box(), None, cfg, mesh=mesh)
 
 
+def test_sharded_restir_matches_single(mesh):
+    """ReSTIR DI under shard_map: spatial reuse crosses tile boundaries via
+    ppermute halo exchange and must be BIT-identical to the single-chip pass
+    when the halo covers the tap radius ((radius+1)·width rows <= tile)."""
+    from raytracer_tpu.api import ProgressiveRenderer
+    from raytracer_tpu.parallel.sharding import ShardedProgressiveRenderer
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    # 32x32 over 8 tiles -> 128-pixel (4-row) tiles; radius 2 needs
+    # (2+1)*32 = 96 <= 128 halo rows, so coverage is exact.
+    cfg = RenderConfig(width=32, height=32, use_restir=True,
+                       restir_spatial_radius=2.0, restir_spatial_neighbors=2,
+                       restir_initial_candidates=4)
+    single = ProgressiveRenderer(create_cornell_box(), None, cfg).render(3)
+    sharded = ShardedProgressiveRenderer(
+        create_cornell_box(), None, cfg, mesh=mesh
+    ).render(3)
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_restir_reservoir_stays_sharded(mesh):
+    from raytracer_tpu.parallel.sharding import ShardedProgressiveRenderer
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    cfg = RenderConfig(width=32, height=32, use_restir=True,
+                       restir_spatial_radius=2.0, restir_spatial_neighbors=1,
+                       restir_initial_candidates=2)
+    r = ShardedProgressiveRenderer(create_cornell_box(), None, cfg, mesh=mesh)
+    r.step()
+    res = r._inner.reservoir
+    assert len(res.weight_sum.sharding.device_set) == mesh.size
+
+
 def test_sharded_pallas_matches_single(mesh):
     """The packet kernel composes under shard_map (interpret on CPU; the
     same composition drives real multi-chip pods)."""
