@@ -223,15 +223,21 @@ def _closest_kernel_v3(leaf_size, drain_at, variant,
             # Route far child: stack if internal, leaf queue if leaf.
             far_leaf = (m_far < 0).astype(jnp.int32)
             stack_ref[r * CAP + sp] = m_far
-            lq_ref[r * LQ + jnp.minimum(ln, LQ - 1)] = ~m_far
+            if variant != "nocond":
+                lq_ref[r * LQ + jnp.minimum(ln, LQ - 1)] = ~m_far
             sp = sp + p_far * (1 - far_leaf)
-            ln = ln + p_far * far_leaf
+            if variant != "nocond":  # dropped leaves must not count, or
+                ln = ln + p_far * far_leaf  # the while-cond never clears
+
             # Route near child.
             near_leaf = (m_near < 0).astype(jnp.int32)
             stack_ref[r * CAP + jnp.minimum(sp, CAP - 1)] = m_near
-            lq_ref[r * LQ + jnp.minimum(ln, LQ - 1)] = ~m_near
+            if variant != "nocond":
+                lq_ref[r * LQ + jnp.minimum(ln, LQ - 1)] = ~m_near
             sp = sp + p_near * (1 - near_leaf)
-            ln = ln + p_near * near_leaf
+            if variant != "nocond":
+                ln = ln + p_near * near_leaf
+
             out_sps.append(sp)
             out_lqns.append(ln)
         return tuple(out_sps), tuple(out_lqns)
@@ -242,6 +248,11 @@ def _closest_kernel_v3(leaf_size, drain_at, variant,
         nit, nlf = carry[-2], carry[-1]
         # Drain leaves when any queue is deep, would overflow, or a row has
         # nothing left but queued leaves.
+        if variant == "nocond":
+            # Diagnostic: straight-line internal-only loop (leaves dropped
+            # at push time) -- WRONG results, isolates cond/leaf overhead.
+            sps, lqns = internal_step(sps, lqns)
+            return sps + lqns + (nit + 1, nlf)
         do_leaf = jnp.zeros((), bool)
         for r in range(ROWS):
             do_leaf |= lqns[r] >= drain_at
@@ -361,7 +372,7 @@ def main():
 
         rays = prep(origin, direction, alive)
         float(jnp.sum(rays[0]))
-        for drain_at, variant in ((4, "base"), (4, "dblread")):
+        for drain_at, variant in ((4, "base"), (4, "nocond")):
             fn = jax.jit(functools.partial(run_closest_v3,
                                            drain_at=drain_at,
                                            variant=variant))
