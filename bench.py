@@ -88,6 +88,49 @@ def conference_datapoint(step):
     }
 
 
+def atrium_1m_datapoint(step):
+    """1080p render of a 1M-tri atrium — exceeds the 90 MB packed-array
+    VMEM budget, so it exercises the multi-part subtree path (2 parts,
+    sequential per-part kernel passes folding best-t / occlusion)."""
+    from raytracer_tpu.ops.camera import Camera
+    from raytracer_tpu.scene.benchmark import create_benchmark_atrium
+    from raytracer_tpu.scene.device_scene import bake_scene
+    from raytracer_tpu.utils.config import RenderConfig
+
+    from raytracer_tpu.api import PALLAS_VMEM_BUDGET
+
+    scene = create_benchmark_atrium(1_000_000)
+    cfg = RenderConfig(width=WIDTH, height=HEIGHT, max_depth=3,
+                       accel="pallas")
+    ds, _ = bake_scene(scene, leaf_size=cfg.bvh_leaf_size,
+                       pallas_budget_bytes=PALLAS_VMEM_BUDGET)
+    if ds.num_parts < 2:
+        return None
+    cam = Camera.create(position=(-16.0, 6.5, -7.5), aspect=WIDTH / HEIGHT,
+                        target=(8.0, 3.0, 4.0))
+    mats = cam.matrices()
+    ubo = {"inverse_view": jnp.asarray(mats["inverse_view"]),
+           "inverse_proj": jnp.asarray(mats["inverse_proj"])}
+    for f in range(2):
+        rad, nrays = step(ds, ubo, jnp.uint32(f), cfg)
+        drain(rad)
+    total = 0
+    t0 = time.perf_counter()
+    frames = 3
+    for f in range(2, 2 + frames):
+        rad, nrays = step(ds, ubo, jnp.uint32(f), cfg)
+        drain(rad)
+        total += int(nrays)
+    dt = time.perf_counter() - t0
+    return {
+        "triangles": scene.num_triangles,
+        "parts": ds.num_parts,
+        "mrays_per_sec": round(total / dt / 1e6, 2),
+        "ms_per_frame": round(1e3 * dt / frames, 1),
+        "mean_radiance": float(np.asarray(rad).mean()),
+    }
+
+
 def main():
     from raytracer_tpu.integrator.wavefront import render_wavefront
     from raytracer_tpu.ops.camera import Camera
@@ -161,6 +204,9 @@ def main():
     conf = conference_datapoint(step)
     if conf:
         log(json.dumps({"conference_mirror_chairs": conf}))
+    big = atrium_1m_datapoint(step)
+    if big:
+        log(json.dumps({"atrium_1m_multipart": big}))
     log(json.dumps({
         "detail": {
             "scene": "procedural_atrium",

@@ -758,6 +758,18 @@ def _sample_dielectric(ray_dir, normal, front_facing, albedo, ior,
     return new_dir, tp, ok, channel, seed
 
 
+def _compact_prefix(n, depth, cfg: RenderConfig):
+    """Static lane-prefix size for deep-bounce compaction (None = run the
+    bounce full-size). Sized by compact_decay per RR'd depth, rounded up to
+    the kernel tile (1024 lanes); the caller verifies the live count fits
+    at runtime and falls back to full-size when it does not."""
+    if depth <= cfg.rr_start_depth:
+        return None
+    frac = cfg.compact_decay ** (depth - cfg.rr_start_depth)
+    k = max(1024, -(-int(n * frac) // 1024) * 1024)
+    return None if k >= n else k
+
+
 def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
                      pixel_start=0, num_pixels=None, with_stats: bool = False):
     """One progressive sample for a contiguous pixel range: returns radiance
@@ -812,9 +824,9 @@ def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
 
     clear_color = jnp.asarray(cfg.background, jnp.float32)
 
-    def bounce(depth, carry):
+    def bounce(depth, carry, do_sort=True):
         state, rays_traced, shadow_total = carry
-        if cfg.accel == "pallas":
+        if cfg.accel == "pallas" and do_sort:
             # Primary rays (depth 0) are raster-ordered already; sorting
             # only pays for itself on bounce wavefronts.
             state = jax.lax.cond(
@@ -864,9 +876,53 @@ def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
         )
         return state._replace(alive=state.alive & ~bad), rays_traced, shadow_total
 
-    state, rays_traced, shadow_total = jax.lax.fori_loop(
-        0, cfg.max_depth, bounce, (state, jnp.int32(0), jnp.int32(0))
+    deep_compact = (
+        cfg.accel == "pallas" and cfg.compact_deep
+        and cfg.max_depth > cfg.rr_start_depth + 1
     )
+    if deep_compact:
+        # Depth-unrolled bounce loop with EXACT prefix compaction: the sort
+        # already orders dead lanes last, so once russian roulette starts
+        # culling, bounces run on a static prefix of the lane arrays when
+        # the live count fits (lax.cond picks the full-size path when it
+        # does not — bright scenes stay correct, just uncompacted).
+        # Excluded lanes are dead: bounce leaves them bit-identical, so
+        # compaction itself changes nothing; images differ from the
+        # fori_loop path only at the ULP level (different XLA fusion of the
+        # unrolled structure). This is the static-shape answer to wavefront
+        # compaction (SURVEY.md §5 pixels x bounces scaling).
+        carry = (state, jnp.int32(0), jnp.int32(0))
+        for depth in range(cfg.max_depth):
+            if cfg.accel == "pallas" and depth > 0:
+                st = _sort_wavefront(carry[0], scene)
+                carry = (st, carry[1], carry[2])
+            k = _compact_prefix(n, depth, cfg)
+            if k is None:
+                carry = bounce(depth, carry, do_sort=False)
+            else:
+                alive_count = jnp.sum(carry[0].alive.astype(jnp.int32))
+
+                def run_compact(carry, k=k, depth=depth):
+                    st, rt, sh = carry
+                    sub = jax.tree_util.tree_map(lambda a: a[:k], st)
+                    sub, rt, sh = bounce(depth, (sub, rt, sh),
+                                         do_sort=False)
+                    merged = jax.tree_util.tree_map(
+                        lambda full, part: full.at[:k].set(part), st, sub
+                    )
+                    return merged, rt, sh
+
+                def run_full(carry, depth=depth):
+                    return bounce(depth, carry, do_sort=False)
+
+                carry = jax.lax.cond(
+                    alive_count <= k, run_compact, run_full, carry
+                )
+        state, rays_traced, shadow_total = carry
+    else:
+        state, rays_traced, shadow_total = jax.lax.fori_loop(
+            0, cfg.max_depth, bounce, (state, jnp.int32(0), jnp.int32(0))
+        )
 
     # Clamp + NaN scrub (simple.rgen:121-125).
     final = jnp.minimum(state.color, cfg.radiance_clamp)

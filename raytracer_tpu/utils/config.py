@@ -38,6 +38,19 @@ class RenderConfig:
     # Russian roulette starts at this bounce depth (simple.rgen:55-68).
     rr_start_depth: int = 3
 
+    # Deep-bounce wavefront compaction (pallas accel, max_depth >
+    # rr_start_depth + 1 only): after the dead-last sort, bounces past the
+    # RR onset run on a static prefix of the lane arrays sized by
+    # compact_decay^(depth - rr_start_depth) when the live count fits
+    # (checked at runtime; oversized frames take the full-size path).
+    # Excluded lanes are dead and bit-untouched, so compaction itself is
+    # exact; images differ from the uncompacted path only at the ULP level
+    # (XLA fuses the unrolled+cond loop structure differently than the
+    # fori_loop). Trades extra compile shapes for shrinking per-bounce
+    # traversal/shading cost on depth-8+ configs.
+    compact_deep: bool = True
+    compact_decay: float = 0.75
+
     # Radiance clamp applied before accumulation (simple.rgen:121).
     radiance_clamp: float = 5.0
 

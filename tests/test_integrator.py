@@ -63,6 +63,40 @@ def test_brute_vs_bvh_same_image():
     np.testing.assert_allclose(imgs["brute"], imgs["bvh"], rtol=1e-3, atol=1e-3)
 
 
+def test_deep_compaction_matches_uncompacted():
+    """Deep-bounce prefix compaction touches only dead lanes (sort orders
+    them last; the lax.cond checks the live count fits), so a depth-6
+    pallas render must match the uncompacted one. Tolerance is ULP-level,
+    not zero: compact_deep switches the bounce loop from lax.fori_loop to
+    an unrolled+cond structure, and XLA fuses the two differently (measured
+    max |d| ~7e-6 on lit pixels) — the compaction itself contributes
+    nothing (excluded lanes are bit-untouched)."""
+    from raytracer_tpu.integrator.wavefront import _compact_prefix
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    base = RenderConfig(width=64, height=64, max_depth=6, accel="pallas")
+    assert _compact_prefix(64 * 64, 4, base) is not None
+    imgs = []
+    for compact in (True, False):
+        cfg = base.replace(compact_deep=compact)
+        imgs.append(render(create_cornell_box(), None, cfg, num_frames=2))
+    np.testing.assert_allclose(imgs[0], imgs[1], rtol=1e-4, atol=1e-5)
+
+
+def test_compact_prefix_schedule():
+    from raytracer_tpu.integrator.wavefront import _compact_prefix
+
+    cfg = RenderConfig(width=64, height=64, max_depth=8)
+    n = 2_073_600
+    assert _compact_prefix(n, 0, cfg) is None
+    assert _compact_prefix(n, cfg.rr_start_depth, cfg) is None
+    ks = [_compact_prefix(n, d, cfg) for d in range(4, 8)]
+    assert all(k is not None and k % 1024 == 0 and k < n for k in ks)
+    assert ks == sorted(ks, reverse=True)  # shrinking with depth
+    # Tiny wavefronts never compact below one kernel tile.
+    assert _compact_prefix(1024, 6, cfg) is None
+
+
 def test_deterministic():
     from raytracer_tpu.scene.model import create_cornell_box
 
