@@ -530,8 +530,9 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
     num_parts = 1
     part_max_depth = -1
     if (pallas_budget_bytes is not None
-            and pallas_budget_bytes >= (1 << 20)  # degenerate budgets fall
-            # back to the single-part bake (api then picks accel='bvh')
+            and pallas_budget_bytes >= (1 << 16)  # degenerate (~0) budgets
+            # fall back to the single-part bake (api then picks accel='bvh')
+            # instead of exploding into per-leaf parts
             and (pnodes.shape[0] + ptris.shape[0]) * 512
             > pallas_budget_bytes):
         pnodes, ptris, root_meta, pmeta, part_max_depth = _pack_pallas_parts(
