@@ -69,7 +69,7 @@ class ProgressiveRenderer:
             pallas_budget_bytes=self._pallas_budget(),
         )
         if self.config.accel == "pallas":
-            from raytracer_tpu.ops.pallas_subpacket import stack_fits
+            from raytracer_tpu.ops.pallas_subpacket import stack_need_fits
 
             reason = None
             if self.device_scene.pallas_vmem_bytes > PALLAS_VMEM_BUDGET:
@@ -81,13 +81,13 @@ class ProgressiveRenderer:
                     f"scene too large for the VMEM-resident packet kernel "
                     f"({self.device_scene.pallas_vmem_bytes >> 20} MB)"
                 )
-            elif not stack_fits(self.device_scene.kernel_max_depth):
+            elif not stack_need_fits(self.device_scene):
                 # Binned SAH can emit highly skewed trees on adversarial
                 # input; a tree deeper than the kernel's SMEM stack would
                 # silently corrupt traversal.
                 reason = (
-                    f"BVH depth {self.device_scene.kernel_max_depth} "
-                    "exceeds the packet kernel's traversal stack"
+                    f"quad-BVH stack need {self.device_scene.q_stack_need} "
+                    "exceeds the sub-packet kernel's traversal stack"
                 )
             if reason is not None:
                 import logging

@@ -9,26 +9,34 @@ the packet 4096 -> 128 rays cuts total visit-iterations ~2.5x (5360 ->
 
 This kernel exploits the one form of divergence Mosaic allows — dynamic
 indices on the SUBLANE dim — to give every sublane row of an [8,128] tile its
-OWN traversal:
+OWN traversal over a 4-WIDE collapsed tree (accel/bvh.py:collapse_bvh4):
 
-  - per-row dynamic fetches: 8 independent node (or leaf-block) rows are
-    concatenated to an [8,16] (or [8, leaf*12]) block, so each row's bounds /
-    triangle components are [8,1] columns lane-broadcast against that row's
-    128 rays — zero per-scalar VMEM extracts (what made small packets lose
-    in the predecessor's experiments),
+  - per-row dynamic fetches: 8 independent quad-node (or leaf-block) rows
+    are concatenated to an [8,32] (or [8, leaf*12]) block, so each row's
+    child bounds / triangle components are [8,1] columns lane-broadcast
+    against that row's 128 rays — zero per-scalar VMEM extracts (what made
+    small packets lose in the predecessor's experiments),
+  - 4-ary nodes because a traversal iteration costs ~394 cyc of serial
+    pop/read/test/extract/route latency against ~70 cyc of slab VPU
+    (tools/v3_kernel_lab.py nocond probe): one row read serves 4 child
+    tests, halving the number of internal iterations,
   - per-row SMEM stacks (CAP entries each) driven by the scalar core; child
-    metas come from the SMEM `pmeta` array so push routing never touches the
-    vector units; the only vector->scalar traffic is ONE packed extract per
-    internal step (3 bits/row: any_l | any_r<<1 | swap<<2, 8**r weighted),
+    metas come from the SMEM `qmeta` array so push routing never touches the
+    vector units; the only vector->scalar traffic is TWO packed extracts per
+    internal step (7 bits/row: 4 hit bits + nearest-child index, 128**r
+    weighted over 4 rows each). The nearest hit child is pushed last
+    (popped first); the remaining hit children keep fixed child order,
   - leaf visits are routed to per-row SMEM queues at PUSH time and drained
     in batched all-row leaf steps, so the ~58-op/tri Moller-Trumbore always
     retires up to 8 block visits per iteration. Deferral delays best-t
     shrinkage by at most a few iterations (drain trigger DRAIN_AT), which can
-    only add visits, never change results.
+    only add visits, never change results. Leaf blocks and their visit
+    tie-breaking are IDENTICAL to the binary layouts (the collapse rewrites
+    only internal topology).
 
-Measured (tools/v3_kernel_lab.py, 1080p 300k tris): bounce-1 closest pass
-1.10 s -> 0.77 s vs the packet kernel; dynamic reads fully pipeline (a
-double-read variant costs +0%).
+Measured (1080p 300k tris, bounce-1 closest): packet kernel 1.10 s ->
+binary sub-packet 0.77 s (tools/v3_kernel_lab.py) -> quad sub-packet
+0.69 s (tools/bvh4_lab.py), all hit-identical on the bench wavefront.
 
 Reference behavior: one fixed-function traceRayEXT per ray
 (shaders/simple.rgen:92-104), rayQueryEXT for shadows
@@ -71,32 +79,47 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _stack_need(scene) -> int:
+    """Per-row SMEM stack entries the 4-ary DFS can hold: 3 per quad level
+    (scene.q_stack_need, computed at bake); conservatively derived from the
+    binary depth when absent (quad depth <= ceil(binary/2))."""
+    need = getattr(scene, "q_stack_need", 0)
+    if need and need > 0:
+        return int(need)
+    depth = getattr(scene, "kernel_max_depth", scene.bvh_max_depth)
+    return 3 * (depth // 2 + 2) + 1
+
+
 def stack_fits(max_depth: int) -> bool:
-    """DFS holds <= depth+2 pending internal entries per row (leaves bypass
-    the stack)."""
+    """Legacy binary-depth check (a binary DFS holds <= depth+2 entries);
+    the quad kernel's real gate is stack_need_fits(scene)."""
     return max_depth + 2 <= CAP
 
 
+def stack_need_fits(scene) -> bool:
+    return _stack_need(scene) <= CAP
+
+
 def _check(scene):
-    depth = getattr(scene, "kernel_max_depth", scene.bvh_max_depth)
-    assert stack_fits(depth), (
-        f"BVH depth {depth} exceeds the sub-packet kernel's "
-        f"per-row stack (CAP={CAP}); use accel='bvh'"
+    assert stack_need_fits(scene), (
+        f"quad-BVH stack need {_stack_need(scene)} exceeds the sub-packet "
+        f"kernel's per-row stack (CAP={CAP}); use accel='bvh'"
     )
 
 
 def _scene_parts(scene):
-    """Per-part (root_meta, pmeta, pnodes, ptris) views. Scenes whose packed
-    arrays exceed the VMEM budget are baked as subtree parts with a leading
-    [P] axis (scene/device_scene.py:_pack_pallas_parts); the kernels then run
-    one sequential pass per part, folding best-t / the occlusion mask across
+    """Per-part (qroot, qmeta, qnodes, ptris) views of the 4-wide collapsed
+    tree. Scenes whose packed arrays exceed the VMEM budget are baked as
+    subtree parts with a leading [P] axis
+    (scene/device_scene.py:_pack_pallas_parts); the kernels then run one
+    sequential pass per part, folding best-t / the occlusion mask across
     passes — the VMEM analog of the reference's 256 MB-batched AS builds
     (gpu_scene.odin:279-315)."""
     p = getattr(scene, "num_parts", 1)
     if p <= 1:
-        return [(scene.root_meta, scene.pmeta, scene.pnodes, scene.ptris)]
+        return [(scene.qroot, scene.qmeta, scene.qnodes, scene.ptris)]
     return [
-        (scene.root_meta[k], scene.pmeta[k], scene.pnodes[k], scene.ptris[k])
+        (scene.qroot[k], scene.qmeta[k], scene.qnodes[k], scene.ptris[k])
         for k in range(p)
     ]
 
@@ -173,50 +196,61 @@ def _pop_rows(stack_ref, sps):
     return nodes, valids, new_sps
 
 
-def _read_node_rows(pnodes_ref, nodes):
+def _read_quad_rows(qnodes_ref, nodes):
     return jnp.concatenate(
-        [pnodes_ref[pl.ds(nodes[r], 1), :12] for r in range(ROWS)], axis=0
-    )  # [8,12]
+        [qnodes_ref[pl.ds(nodes[r], 1), :32] for r in range(ROWS)], axis=0
+    )  # [8,32]: 4x child (min.xyz, max.xyz) + 4 metas + pad per row
 
 
-def _push_children(stack_ref, lq_ref, pmeta_ref, nodes, new_sps, lqns,
-                   code_all, ordered):
-    """Scalar-side push routing: internal children to the row's stack
-    (near-first pop order when `ordered`), leaf children to its leaf queue."""
+def _route_quad(stack_ref, lq_ref, qmeta_ref, nodes, new_sps, lqns,
+                code_lo, code_hi, ordered):
+    """Scalar-side push routing for 4-wide nodes: hit children go to the
+    row's stack (internal) or leaf queue in fixed child order; when
+    `ordered`, the NEAREST hit child is pushed last so it pops first. Code
+    fields are 7 bits/row: 4 hit bits + 3 near bits (near=4 = none, the
+    unordered any-hit encoding)."""
     out_sps = []
     out_lqns = []
     for r in range(ROWS):
-        c = (code_all >> (3 * r)) & 7
-        a_l = (c & 1) > 0
-        a_r = (c & 2) > 0
+        cr = ((code_lo if r < 4 else code_hi) >> (7 * (r % 4))) & 127
         n = nodes[r]
-        lmeta = pmeta_ref[2 * n]
-        rmeta = pmeta_ref[2 * n + 1]
-        if ordered:
-            sw = (c & 4) > 0
-            m_near = jnp.where(sw, rmeta, lmeta)
-            m_far = jnp.where(sw, lmeta, rmeta)
-            p_near = jnp.where(sw, a_r, a_l).astype(jnp.int32)
-            p_far = jnp.where(sw, a_l, a_r).astype(jnp.int32)
-        else:
-            m_near, m_far = lmeta, rmeta
-            p_near = a_l.astype(jnp.int32)
-            p_far = a_r.astype(jnp.int32)
         sp = new_sps[r]
         ln = lqns[r]
-        far_leaf = (m_far < 0).astype(jnp.int32)
-        stack_ref[r * CAP + sp] = m_far
-        lq_ref[r * LQ + jnp.minimum(ln, LQ - 1)] = ~m_far
-        sp = sp + p_far * (1 - far_leaf)
-        ln = ln + p_far * far_leaf
-        near_leaf = (m_near < 0).astype(jnp.int32)
-        stack_ref[r * CAP + jnp.minimum(sp, CAP - 1)] = m_near
-        lq_ref[r * LQ + jnp.minimum(ln, LQ - 1)] = ~m_near
-        sp = sp + p_near * (1 - near_leaf)
-        ln = ln + p_near * near_leaf
+        p_near = jnp.int32(0)
+        meta_near = jnp.int32(0)
+        for c in range(4):
+            hit_c = (cr >> c) & 1
+            is_near = ((cr >> 4) & 7) == c
+            p = hit_c * (1 - is_near.astype(jnp.int32))
+            meta = qmeta_ref[4 * n + c]
+            is_leaf = (meta < 0).astype(jnp.int32)
+            # Write-then-advance: slot sp/ln is always the next free one,
+            # so unconditional writes never clobber live entries.
+            stack_ref[r * CAP + jnp.minimum(sp, CAP - 1)] = meta
+            lq_ref[r * LQ + jnp.minimum(ln, LQ - 1)] = ~meta
+            sp = sp + p * (1 - is_leaf)
+            ln = ln + p * is_leaf
+            if ordered:
+                p_near = p_near + hit_c * is_near.astype(jnp.int32)
+                meta_near = jnp.where(is_near, meta, meta_near)
+        if ordered:
+            is_leaf_n = (meta_near < 0).astype(jnp.int32)
+            stack_ref[r * CAP + jnp.minimum(sp, CAP - 1)] = meta_near
+            lq_ref[r * LQ + jnp.minimum(ln, LQ - 1)] = ~meta_near
+            sp = sp + p_near * (1 - is_leaf_n)
+            ln = ln + p_near * is_leaf_n
         out_sps.append(sp)
         out_lqns.append(ln)
     return tuple(out_sps), tuple(out_lqns)
+
+
+_W4 = None
+
+
+def _pack_code7(code):
+    """[8,1] i32 (7 bits/row) -> two scalars (rows 0-3, rows 4-7)."""
+    w4 = (128 ** jnp.arange(4, dtype=jnp.int32))[:, None]
+    return jnp.sum(code[0:4] * w4), jnp.sum(code[4:8] * w4)
 
 
 def _pop_leaves(lq_ref, lqns):
@@ -303,24 +337,34 @@ def _closest_kernel(leaf_size,
 
     def internal_step(sps, lqns):
         nodes, valids, new_sps = _pop_rows(stack_ref, sps)
-        rows8 = _read_node_rows(pnodes_ref, nodes)
+        rows8 = _read_quad_rows(pnodes_ref, nodes)
         t_cap = t_ref[0] * _rowmask_f(valids)
         col = lambda i: rows8[:, i: i + 1]
-        hit_l, tn_l = _slab_rows(ox, oy, oz, ix, iy, iz,
-                                 (col(0), col(1), col(2)),
-                                 (col(3), col(4), col(5)), t_min, t_cap)
-        hit_r, tn_r = _slab_rows(ox, oy, oz, ix, iy, iz,
-                                 (col(6), col(7), col(8)),
-                                 (col(9), col(10), col(11)), t_min, t_cap)
-        near_l = jnp.min(jnp.where(hit_l, tn_l, BIG), axis=1, keepdims=True)
-        near_r = jnp.min(jnp.where(hit_r, tn_r, BIG), axis=1, keepdims=True)
-        any_l = near_l < BIG
-        any_r = near_r < BIG
-        swap = near_r < near_l
-        code = (any_l.astype(jnp.int32) + 2 * any_r.astype(jnp.int32)
-                + 4 * swap.astype(jnp.int32))
-        return _push_children(stack_ref, lq_ref, pmeta_ref, nodes, new_sps,
-                              lqns, _pack_code(code), ordered=True)
+        tns = []
+        for c in range(4):
+            h, tn = _slab_rows(
+                ox, oy, oz, ix, iy, iz,
+                (col(6 * c), col(6 * c + 1), col(6 * c + 2)),
+                (col(6 * c + 3), col(6 * c + 4), col(6 * c + 5)),
+                t_min, t_cap,
+            )
+            tns.append(jnp.min(jnp.where(h, tn, BIG), axis=1, keepdims=True))
+        any_h = [tn < BIG for tn in tns]
+        # Nearest hit child (2-bit argmin; rows with no hits push nothing).
+        b0 = (tns[1] < tns[0]).astype(jnp.int32)
+        b1 = (tns[3] < tns[2]).astype(jnp.int32)
+        use_hi = jnp.minimum(tns[2], tns[3]) < jnp.minimum(tns[0], tns[1])
+        near = jnp.where(use_hi, 2 + b1, b0)
+        code = (
+            any_h[0].astype(jnp.int32)
+            + 2 * any_h[1].astype(jnp.int32)
+            + 4 * any_h[2].astype(jnp.int32)
+            + 8 * any_h[3].astype(jnp.int32)
+            + 16 * near
+        )
+        code_lo, code_hi = _pack_code7(code)
+        return _route_quad(stack_ref, lq_ref, pmeta_ref, nodes, new_sps,
+                           lqns, code_lo, code_hi, ordered=True)
 
     def body(carry):
         sps = carry[:ROWS]
@@ -392,20 +436,23 @@ def _occlusion_kernel(leaf_size,
 
     def internal_step(sps, lqns):
         nodes, valids, new_sps = _pop_rows(stack_ref, sps)
-        rows8 = _read_node_rows(pnodes_ref, nodes)
+        rows8 = _read_quad_rows(pnodes_ref, nodes)
         t_eff = jnp.where(occ_ref[0] == 0, t_max, 0.0) * _rowmask_f(valids)
         col = lambda i: rows8[:, i: i + 1]
-        hit_l, _ = _slab_rows(ox, oy, oz, ix, iy, iz,
-                              (col(0), col(1), col(2)),
-                              (col(3), col(4), col(5)), t_min, t_eff)
-        hit_r, _ = _slab_rows(ox, oy, oz, ix, iy, iz,
-                              (col(6), col(7), col(8)),
-                              (col(9), col(10), col(11)), t_min, t_eff)
-        any_l = jnp.max(hit_l.astype(jnp.int32), axis=1, keepdims=True)
-        any_r = jnp.max(hit_r.astype(jnp.int32), axis=1, keepdims=True)
-        code = any_l + 2 * any_r
-        return _push_children(stack_ref, lq_ref, pmeta_ref, nodes, new_sps,
-                              lqns, _pack_code(code), ordered=False)
+        anys = []
+        for c in range(4):
+            h, _ = _slab_rows(
+                ox, oy, oz, ix, iy, iz,
+                (col(6 * c), col(6 * c + 1), col(6 * c + 2)),
+                (col(6 * c + 3), col(6 * c + 4), col(6 * c + 5)),
+                t_min, t_eff,
+            )
+            anys.append(jnp.max(h.astype(jnp.int32), axis=1, keepdims=True))
+        # near=4: no ordering (pop order is irrelevant without a best-t).
+        code = anys[0] + 2 * anys[1] + 4 * anys[2] + 8 * anys[3] + 64
+        code_lo, code_hi = _pack_code7(code)
+        return _route_quad(stack_ref, lq_ref, pmeta_ref, nodes, new_sps,
+                           lqns, code_lo, code_hi, ordered=False)
 
     def body(carry):
         sps = carry[:ROWS]

@@ -33,7 +33,12 @@ from typing import Tuple
 import jax
 import numpy as np
 
-from raytracer_tpu.accel.bvh import BVH, build_bvh, build_bvh_split
+from raytracer_tpu.accel.bvh import (
+    BVH,
+    build_bvh,
+    build_bvh_split,
+    collapse_bvh4,
+)
 from raytracer_tpu.scene.model import Scene
 
 _PAD = 128  # pad triangle count to a lane multiple
@@ -143,6 +148,16 @@ class SceneOnDevice:
     light_meta_packed: jax.Array
     light_tri_packed: jax.Array
 
+    # 4-wide collapsed tree for the production sub-packet kernel
+    # (accel/bvh.py:collapse_bvh4): qnodes f32[N4,32] (4 child boxes + 4
+    # metas per row — ONE dynamic read per internal step), qmeta i32[4*N4]
+    # (scalar-side push routing), qroot i32[1]. Leaf blocks (ptris) are
+    # shared with the binary layouts. With parts, these carry the leading
+    # [P] axis like pnodes/ptris.
+    qnodes: jax.Array
+    qmeta: jax.Array
+    qroot: jax.Array
+
     # --- static metadata ---
     num_triangles: int = dataclasses.field(metadata=dict(static=True))
     num_lights: int = dataclasses.field(metadata=dict(static=True))
@@ -168,6 +183,11 @@ class SceneOnDevice:
     part_max_depth: int = dataclasses.field(
         default=-1, metadata=dict(static=True)
     )
+    # Per-row SMEM stack bound of the 4-ary kernel (3 entries per quad
+    # level; max over parts). 0 = derive conservatively from kernel depth.
+    q_stack_need: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
 
     @property
     def num_nodes(self) -> int:
@@ -180,10 +200,11 @@ class SceneOnDevice:
 
     @property
     def pallas_vmem_bytes(self) -> int:
-        """VMEM footprint of the packet-kernel scene arrays PER PASS (rows
-        pad their last dim to 128 lanes in VMEM; with parts, one part is
-        resident at a time)."""
-        return (self.pnodes.shape[-2] + self.ptris.shape[-2]) * 128 * 4
+        """VMEM footprint of the sub-packet kernel's scene arrays PER PASS
+        (rows pad their last dim to 128 lanes in VMEM; with parts, one part
+        is resident at a time). The 4-wide qnodes halve the node rows vs
+        the binary layout."""
+        return (self.qnodes.shape[-2] + self.ptris.shape[-2]) * 128 * 4
 
 
 def _pad_rows(a: np.ndarray, total: int, fill=0.0) -> np.ndarray:
@@ -350,7 +371,12 @@ def _cut_parts(bvh, budget_bytes: int):
         j = int(bvh.nodes_skip[i])
         nb = int(leaf_psum[j] - leaf_psum[i])
         ni = (j - i) - nb
-        if max(nb, 1) + max(ni, 1) <= budget_rows or is_leaf[i]:
+        # The kernel loads the 4-wide collapsed nodes next to the leaf
+        # blocks. Quad count: absorbed nodes are exactly the internal
+        # children of quad roots, and roots/absorbed alternate along parent
+        # chains, so n4 <= 2*ni/3 + 1 (typical ~ni/2).
+        if (max(nb, 1) + (2 * max(ni, 1)) // 3 + 2 <= budget_rows
+                or is_leaf[i]):
             parts.append((i, j))
         else:
             left = i + 1
@@ -390,17 +416,27 @@ def _slice_bvh(bvh, i: int, j: int) -> BVH:
 
 def _pack_pallas_parts(bvh, v0p, e1p, e2p, tri_object_p, leaf_size,
                        budget_bytes):
-    """Per-part packed pallas arrays, padded to the largest part and stacked
-    with a leading [P] axis. Returns (pnodes, ptris, root_meta, pmeta,
-    part_max_depth)."""
+    """Per-part packed pallas arrays (binary + 4-wide collapsed), padded to
+    the largest part and stacked with a leading [P] axis. Returns
+    (pnodes, ptris, root_meta, pmeta, qnodes, qmeta, qroot, part_max_depth,
+    q_stack_need)."""
     parts = _cut_parts(bvh, budget_bytes)
     packs = []
+    qpacks = []
     max_depth = 0
+    stack_need = 0
     for (i, j) in parts:
         sb = _slice_bvh(bvh, i, j)
         packs.append(_pack_pallas_arrays(
             sb, v0p, e1p, e2p, tri_object_p, leaf_size
         ))
+        qn, qm, qr, need = collapse_bvh4(sb)
+        assert (qn.shape[0] + packs[-1][1].shape[0]) * 512 <= budget_bytes, (
+            "part exceeds the VMEM budget after collapse — the n4 bound in "
+            "_cut_parts is violated"
+        )
+        qpacks.append((qn, qm, qr))
+        stack_need = max(stack_need, need)
         max_depth = max(max_depth, sb.max_depth())
     p = len(packs)
     ni = max(pk[0].shape[0] for pk in packs)
@@ -410,12 +446,22 @@ def _pack_pallas_parts(bvh, v0p, e1p, e2p, tri_object_p, leaf_size,
     ptris = np.zeros((p, nb, w), np.float32)
     root_meta = np.zeros((p, 1), np.int32)
     pmeta = np.zeros((p, 2 * ni), np.int32)
+    n4 = max(qp[0].shape[0] for qp in qpacks)
+    qnodes = np.full((p, n4, 32), np.nan, np.float32)
+    qnodes[:, :, 28:32] = 0.0
+    qmeta = np.zeros((p, 4 * n4), np.int32)
+    qroot = np.zeros((p, 1), np.int32)
     for k, (pn, pt, rm, pm) in enumerate(packs):
         pnodes[k, : pn.shape[0]] = pn
         ptris[k, : pt.shape[0]] = pt
         root_meta[k] = rm
         pmeta[k, : pm.shape[0]] = pm
-    return pnodes, ptris, root_meta, pmeta, max_depth
+        qn, qm, qr = qpacks[k]
+        qnodes[k, : qn.shape[0]] = qn
+        qmeta[k, : qm.shape[0]] = qm
+        qroot[k] = qr
+    return (pnodes, ptris, root_meta, pmeta, qnodes, qmeta, qroot,
+            max_depth, stack_need)
 
 
 def bake_scene(scene: Scene, leaf_size: int = 8,
@@ -527,15 +573,17 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
     pnodes, ptris, root_meta, pmeta = _pack_pallas_arrays(
         bvh, v0p, e1p, e2p, tri_object_p, leaf_size
     )
+    qnodes, qmeta, qroot, q_stack_need = collapse_bvh4(bvh)
     num_parts = 1
     part_max_depth = -1
     if (pallas_budget_bytes is not None
             and pallas_budget_bytes >= (1 << 16)  # degenerate (~0) budgets
             # fall back to the single-part bake (api then picks accel='bvh')
             # instead of exploding into per-leaf parts
-            and (pnodes.shape[0] + ptris.shape[0]) * 512
+            and (qnodes.shape[0] + ptris.shape[0]) * 512
             > pallas_budget_bytes):
-        pnodes, ptris, root_meta, pmeta, part_max_depth = _pack_pallas_parts(
+        (pnodes, ptris, root_meta, pmeta, qnodes, qmeta, qroot,
+         part_max_depth, q_stack_need) = _pack_pallas_parts(
             bvh, v0p, e1p, e2p, tri_object_p, leaf_size, pallas_budget_bytes
         )
         num_parts = pnodes.shape[0]
@@ -658,12 +706,16 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
         obj_light_index=as_device(obj_light_index),
         light_meta_packed=as_device(light_meta),
         light_tri_packed=as_device(light_tri_packed),
+        qnodes=as_device(qnodes),
+        qmeta=as_device(qmeta),
+        qroot=as_device(qroot),
         num_triangles=num_tris,
         num_lights=num_lights,
         num_objects=len(scene.objects),
         bvh_max_depth=bvh.max_depth(),
         num_parts=num_parts,
         part_max_depth=part_max_depth,
+        q_stack_need=q_stack_need,
     )
     return ds, bvh
 

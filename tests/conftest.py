@@ -68,6 +68,9 @@ def make_traversal_scene(v0, e1, e2, tri_object=None, leaf_size=8,
     pnodes, ptris, root_meta, pmeta = _pack_pallas_arrays(
         bvh, v0[perm], e1[perm], e2[perm], tri_object[perm], leaf_size
     )
+    from raytracer_tpu.accel.bvh import collapse_bvh4
+
+    qnodes, qmeta, qroot, q_stack_need = collapse_bvh4(bvh)
     return SimpleNamespace(
         bvh=bvh,
         perm=perm,
@@ -86,6 +89,10 @@ def make_traversal_scene(v0, e1, e2, tri_object=None, leaf_size=8,
         ptris=jnp.asarray(ptris),
         root_meta=jnp.asarray(root_meta),
         pmeta=jnp.asarray(pmeta),
+        qnodes=jnp.asarray(qnodes),
+        qmeta=jnp.asarray(qmeta),
+        qroot=jnp.asarray(qroot),
+        q_stack_need=q_stack_need,
         bvh_max_depth=bvh.max_depth(),
         scene_min=jnp.asarray(
             np.minimum.reduce([v0.min(0), (v0 + e1).min(0), (v0 + e2).min(0)])

@@ -259,3 +259,67 @@ def test_pallas_guard_rejects_overdeep_tree():
         intersect_bvh_pallas(o, d, deep, 1e-3, 1e4)
     with _pytest.raises(AssertionError, match="traversal stack"):
         occlusion_bvh_pallas(o, d, 1e-3, 1e4, deep, jnp.zeros(8, jnp.int32))
+
+
+def test_subpacket_guard_rejects_overdeep_quad_tree():
+    """Same for the production sub-packet kernel: the bake-computed 4-ary
+    stack bound (q_stack_need) gates the kernel entry points."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from raytracer_tpu.ops.pallas_subpacket import (
+        CAP,
+        intersect_bvh_subpacket,
+        occlusion_bvh_subpacket,
+        stack_need_fits,
+    )
+    from raytracer_tpu.scene.device_scene import bake_scene
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    ds, _ = bake_scene(create_cornell_box())
+    assert 0 < ds.q_stack_need <= CAP
+    assert stack_need_fits(ds)
+    deep = dataclasses.replace(ds, q_stack_need=CAP + 1)
+    o = jnp.zeros((8, 3), jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (8, 1))
+    with _pytest.raises(AssertionError, match="per-row stack"):
+        intersect_bvh_subpacket(o, d, deep, 1e-3, 1e4)
+    with _pytest.raises(AssertionError, match="per-row stack"):
+        occlusion_bvh_subpacket(
+            o, d, 1e-3, jnp.full((8,), 1e4), deep, jnp.zeros(8, jnp.int32)
+        )
+
+
+def test_collapse_bvh4_invariants(rng_np):
+    """Every binary leaf appears exactly once as a quad child; internal
+    quads are referenced exactly once (a tree); present-child boxes match
+    the binary nodes; absent children are NaN boxes (an inverted box would
+    pass the slab test — it normalizes to an infinite interval)."""
+    from raytracer_tpu.accel.bvh import collapse_bvh4
+
+    v0, e1, e2 = _random_tris(rng_np, 500)
+    bvh = build_bvh_numpy(v0, e1, e2, leaf_size=8)
+    qnodes, qmeta, qroot, need = collapse_bvh4(bvh)
+    n4 = qnodes.shape[0]
+    is_leaf = bvh.nodes_count > 0
+    nleaf = int(is_leaf.sum())
+
+    leaves_seen = []
+    quad_refs = []
+    for q in range(n4):
+        for c in range(4):
+            present = np.isfinite(qnodes[q, 6 * c])
+            meta = int(qmeta[4 * q + c])
+            if present:
+                if meta < 0:
+                    leaves_seen.append(~meta)
+                else:
+                    quad_refs.append(meta)
+            else:
+                assert np.isnan(qnodes[q, 6 * c: 6 * c + 6]).all()
+    assert sorted(leaves_seen) == list(range(nleaf))
+    assert sorted(quad_refs) == list(range(1, n4))
+    assert int(qroot[0]) == 0
+    assert 4 <= need <= 3 * (bvh.max_depth() + 1) + 1
