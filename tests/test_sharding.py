@@ -88,6 +88,32 @@ def test_sharded_restir_reservoir_stays_sharded(mesh):
     assert len(res.weight_sum.sharding.device_set) == mesh.size
 
 
+def test_sharded_multipart_matches_single(mesh):
+    """Beyond-VMEM subtree parts compose with pixel-tile sharding: the
+    stacked [P,...] part arrays replicate with the scene pytree and each
+    tile runs the same sequential per-part passes."""
+    import raytracer_tpu.api as api
+    from raytracer_tpu.api import ProgressiveRenderer
+    from raytracer_tpu.parallel.sharding import ShardedProgressiveRenderer
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    cfg = RenderConfig(width=16, height=16, accel="pallas")
+    old = api.PALLAS_VMEM_BUDGET
+    try:
+        api.PALLAS_VMEM_BUDGET = 256 * 1024  # force a multi-part bake
+        sharded_r = ShardedProgressiveRenderer(
+            create_cornell_box(), None, cfg, mesh=mesh
+        )
+        assert sharded_r._inner.device_scene.num_parts > 1
+        sharded = sharded_r.render(1)
+        single_r = ProgressiveRenderer(create_cornell_box(), None, cfg)
+        assert single_r.device_scene.num_parts > 1
+        single = single_r.render(1)
+    finally:
+        api.PALLAS_VMEM_BUDGET = old
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
+
+
 def test_sharded_pallas_matches_single(mesh):
     """The packet kernel composes under shard_map (interpret on CPU; the
     same composition drives real multi-chip pods)."""
