@@ -146,6 +146,22 @@ def main():
     bench("bounce1 shade+NEE (incl occl)", shade_only, ds, state1s, hit1, cfg)
     bench("bounce1 shade only (no NEE)", shade_only_no_nee, ds, state1s, hit1,
           cfg)
+    # NEE with the occlusion traversal stubbed out: isolates the pure
+    # light-sampling/BRDF/MIS math + RNG cost of the NEE block.
+    orig_occluded = wf._occluded
+    try:
+        wf._occluded = lambda scene, o, d, t, s, cfg2, a: jnp.zeros(
+            o.shape[0], bool)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",))
+        def shade_only_stub_occl(ds, state, hit, cfg):
+            st, ph, sh = wf._shade(ds, state, hit, cfg)
+            return st.color
+
+        bench("bounce1 shade+NEE (occl stubbed)", shade_only_stub_occl,
+              ds, state1s, hit1, cfg)
+    finally:
+        wf._occluded = orig_occluded
     bench("occlusion (vertical rays, live mask)", occl_down, ds, state1s, cfg)
 
     state2 = one_bounce(ds, state1s, cfg)
