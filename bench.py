@@ -45,6 +45,26 @@ def drain(x):
     return float(jnp.sum(x))
 
 
+def timed_frames(step, ds, ubo, cfg, frames, label):
+    """Per-frame timed loop with the 2x-median outlier guard applied to
+    EVERY datapoint (round-1's corrupted headline came from silently
+    averaging a straggler frame; round 2 guarded only the headline)."""
+    total = 0
+    times = []
+    for f in range(2, 2 + frames):
+        t0 = time.perf_counter()
+        rad, nrays = step(ds, ubo, jnp.uint32(f), cfg)
+        drain(rad)
+        times.append(time.perf_counter() - t0)
+        total += int(nrays)
+    ft = np.asarray(times)
+    if ft.max() > 2.0 * np.median(ft):
+        log(f"WARNING: {label}: frame-time outlier {ft.max():.2f}s vs "
+            f"median {np.median(ft):.2f}s — times: "
+            f"{[round(t, 2) for t in times]}")
+    return rad, total, times
+
+
 def conference_datapoint(step):
     """1080p render of /root/reference/models/conference_mirror_chairs.glb
     (7584 tris, 4 lights, mirror materials) — measured on the same jitted
@@ -72,18 +92,14 @@ def conference_datapoint(step):
     drain(rad)  # compile + warmup
     rad, nrays = step(ds, ubo, jnp.uint32(1), cfg)
     drain(rad)
-    total = 0
-    t0 = time.perf_counter()
-    frames = 4
-    for f in range(2, 2 + frames):
-        rad, nrays = step(ds, ubo, jnp.uint32(f), cfg)
-        drain(rad)
-        total += int(nrays)
-    dt = time.perf_counter() - t0
+    frames = 5
+    rad, total, times = timed_frames(step, ds, ubo, cfg, frames, "conference")
+    dt = sum(times)
     return {
         "triangles": scene.num_triangles,
         "mrays_per_sec": round(total / dt / 1e6, 2),
         "ms_per_frame": round(1e3 * dt / frames, 1),
+        "frame_times_s": [round(t, 2) for t in times],
         "mean_radiance": float(np.asarray(rad).mean()),
     }
 
@@ -114,19 +130,16 @@ def atrium_1m_datapoint(step):
     for f in range(2):
         rad, nrays = step(ds, ubo, jnp.uint32(f), cfg)
         drain(rad)
-    total = 0
-    t0 = time.perf_counter()
-    frames = 3
-    for f in range(2, 2 + frames):
-        rad, nrays = step(ds, ubo, jnp.uint32(f), cfg)
-        drain(rad)
-        total += int(nrays)
-    dt = time.perf_counter() - t0
+    frames = 5
+    rad, total, times = timed_frames(step, ds, ubo, cfg, frames,
+                                     "atrium_1m_multipart")
+    dt = sum(times)
     return {
         "triangles": scene.num_triangles,
         "parts": ds.num_parts,
         "mrays_per_sec": round(total / dt / 1e6, 2),
         "ms_per_frame": round(1e3 * dt / frames, 1),
+        "frame_times_s": [round(t, 2) for t in times],
         "mean_radiance": float(np.asarray(rad).mean()),
     }
 
@@ -136,7 +149,13 @@ def main():
     from raytracer_tpu.ops.camera import Camera
     from raytracer_tpu.scene.benchmark import create_benchmark_atrium
     from raytracer_tpu.scene.device_scene import bake_scene
+    from raytracer_tpu.utils.compile_cache import enable_persistent_cache
     from raytracer_tpu.utils.config import RenderConfig
+
+    cache_dir = enable_persistent_cache()
+    import os
+
+    cache_warm = os.path.isdir(cache_dir) and bool(os.listdir(cache_dir))
 
     t0 = time.perf_counter()
     scene = create_benchmark_atrium(TARGET_TRIS)
@@ -219,7 +238,11 @@ def main():
             "frame_times_s": [round(t, 2) for t in frame_times],
             "median_frame_s": round(float(np.median(ft)), 2),
             "bake_s": round(bake_s, 2),
+            # compile_s covers the two warmup frames; with a warm persistent
+            # XLA cache (cache_warm=true: second+ bench run on this machine)
+            # it is deserialization + upload, not compilation.
             "compile_s": round(compile_s, 2),
+            "cache_warm": cache_warm,
             "mean_radiance": float(np.asarray(rad).mean()),
             "device": str(jax.devices()[0]),
         }

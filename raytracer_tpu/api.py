@@ -56,10 +56,35 @@ def _render_frame_restir_jit(scene, camera_ubo, accum, reservoir,
 
 
 class ProgressiveRenderer:
+    """Single-chip or multi-chip progressive renderer.
+
+    `mesh` (a 1-D jax.sharding.Mesh) turns on pixel-tile data parallelism:
+    the accumulation buffer and ReSTIR reservoir are sharded over the mesh's
+    devices, the scene is replicated, and frames run through shard_map
+    (parallel/sharding.py) — bit-identical to the single-chip path because
+    seeds/camera rays use global pixel indices. There is ONE placement/reset
+    path for both modes: reset_accumulation() and load_checkpoint() re-place
+    accum *and* reservoir on the mesh (round-1/2 kept a wrapper class whose
+    camera-dirty reset silently replicated the rebuilt reservoir)."""
+
     def __init__(self, scene: Scene, camera: Optional[Camera] = None,
-                 config: Optional[RenderConfig] = None):
+                 config: Optional[RenderConfig] = None,
+                 mesh=None):
         self.scene = scene
+        self.mesh = mesh
         self.config = (config or RenderConfig()).resolve_accel()
+        if (self.config.accel == "pallas"
+                and abs(self.config.t_min - 1e-3) > 1e-9):
+            # The sub-packet kernels hard-code the reference's traceRayEXT
+            # t_min of 1e-3 (asserted at trace time); a custom t_min must
+            # fall back to the XLA walk instead of crashing mid-render.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "t_min=%g unsupported by accel='pallas' (kernel assumes "
+                "1e-3); falling back to accel='bvh'", self.config.t_min
+            )
+            self.config = self.config.replace(accel="bvh")
         self.camera = camera or Camera.create(
             position=(0.0, 0.0, -3.0),
             aspect=self.config.width / self.config.height,
@@ -67,6 +92,7 @@ class ProgressiveRenderer:
         self.device_scene, self._host_bvh = bake_scene(
             scene, leaf_size=self.config.bvh_leaf_size,
             pallas_budget_bytes=self._pallas_budget(),
+            pack_pallas=self.config.accel == "pallas",
         )
         if self.config.accel == "pallas":
             from raytracer_tpu.ops.pallas_subpacket import stack_need_fits
@@ -100,14 +126,61 @@ class ProgressiveRenderer:
         # journal entries are already reflected and must not trigger a
         # replay/reset on the first begin_frame.
         scene.drain_changes()
-        self.accum = jnp.zeros((self.config.num_pixels, 3), jnp.float32)
+        if self.mesh is not None:
+            self._init_mesh()
+        self.accum = self._place_accum(
+            jnp.zeros((self.config.num_pixels, 3), jnp.float32)
+        )
         self.frame = 0
         self._camera_ubo_dev = None
         self.reservoir = None
         if self.config.use_restir:
             from raytracer_tpu.integrator.restir import Reservoir
 
-            self.reservoir = Reservoir.empty(self.config.num_pixels)
+            self.reservoir = self._place_reservoir(
+                Reservoir.empty(self.config.num_pixels)
+            )
+
+    # -- multi-chip placement (one path for init/reset/load) -------------
+    def _init_mesh(self):
+        import logging
+
+        from raytracer_tpu.parallel.sharding import replicate
+
+        cfg = self.config
+        if cfg.num_pixels % self.mesh.size != 0:
+            raise ValueError(
+                f"{cfg.width}x{cfg.height} pixels do not tile over "
+                f"{self.mesh.size} devices; adjust the height"
+            )
+        if cfg.use_restir:
+            halo_needed = (int(cfg.restir_spatial_radius) + 1) * cfg.width
+            n_local = cfg.num_pixels // self.mesh.size
+            if n_local < halo_needed:
+                # Spatial taps beyond the (clamped) halo are dropped, so
+                # coverage silently differs from single-chip on such meshes.
+                logging.getLogger(__name__).warning(
+                    "ReSTIR tile height %d rows < spatial halo %d rows: "
+                    "cross-tile spatial taps will be clipped (render is no "
+                    "longer bit-identical to single-chip)",
+                    n_local // cfg.width,
+                    halo_needed // cfg.width,
+                )
+        self.device_scene = replicate(self.device_scene, self.mesh)
+
+    def _place_accum(self, accum):
+        if self.mesh is None:
+            return accum
+        from raytracer_tpu.parallel.sharding import shard_accum
+
+        return shard_accum(accum, self.mesh)
+
+    def _place_reservoir(self, reservoir):
+        if self.mesh is None or reservoir is None:
+            return reservoir
+        from raytracer_tpu.parallel.sharding import shard_reservoir
+
+        return shard_reservoir(reservoir, self.mesh)
 
     def _pallas_budget(self):
         """Packed-array VMEM budget for the bake: only the pallas accel needs
@@ -128,7 +201,12 @@ class ProgressiveRenderer:
             return False
         types = {c.type for c in changes}
         if types == {SceneChangeType.MATERIAL_CHANGED}:
-            self.device_scene = update_materials(self.device_scene, self.scene)
+            self.device_scene = update_materials(
+                self.device_scene, self.scene,
+                leaf_size=self.config.bvh_leaf_size,
+                pallas_budget_bytes=self._pallas_budget(),
+                pack_pallas=self.config.accel == "pallas",
+            )
         elif types <= {
             SceneChangeType.OBJECT_TRANSFORM_CHANGED,
             SceneChangeType.MATERIAL_CHANGED,
@@ -140,6 +218,7 @@ class ProgressiveRenderer:
                 self.scene, leaf_size=self.config.bvh_leaf_size,
                 reuse_bvh=self._host_bvh,
                 pallas_budget_bytes=self._pallas_budget(),
+                pack_pallas=self.config.accel == "pallas",
             )
         else:
             # Topology changed: full re-bake (the reference's add/remove
@@ -147,7 +226,12 @@ class ProgressiveRenderer:
             self.device_scene, self._host_bvh = bake_scene(
                 self.scene, leaf_size=self.config.bvh_leaf_size,
                 pallas_budget_bytes=self._pallas_budget(),
+                pack_pallas=self.config.accel == "pallas",
             )
+        if self.mesh is not None:
+            from raytracer_tpu.parallel.sharding import replicate
+
+            self.device_scene = replicate(self.device_scene, self.mesh)
         return True
 
     def begin_frame(self):
@@ -163,14 +247,19 @@ class ProgressiveRenderer:
             self.camera.clear_dirty()
 
     def reset_accumulation(self):
-        self.accum = jnp.zeros((self.config.num_pixels, 3), jnp.float32)
+        self.accum = self._place_accum(
+            jnp.zeros((self.config.num_pixels, 3), jnp.float32)
+        )
         self.frame = 0
         if self.config.use_restir:
             from raytracer_tpu.integrator.restir import Reservoir
 
             # Temporal reuse is only valid while accumulation is: camera or
-            # scene changes invalidate both.
-            self.reservoir = Reservoir.empty(self.config.num_pixels)
+            # scene changes invalidate both. Placement (mesh sharding) is
+            # part of this one reset path — see class docstring.
+            self.reservoir = self._place_reservoir(
+                Reservoir.empty(self.config.num_pixels)
+            )
 
     # -- the hot loop ---------------------------------------------------
     def step(self) -> bool:
@@ -180,7 +269,9 @@ class ProgressiveRenderer:
         limit = self.config.accumulation_limit
         if limit is not None and self.frame >= limit:
             return False
-        if self.config.use_restir:
+        if self.mesh is not None:
+            self._step_sharded()
+        elif self.config.use_restir:
             self.accum, self.reservoir = _render_frame_restir_jit(
                 self.device_scene,
                 self._camera_ubo_dev,
@@ -199,6 +290,25 @@ class ProgressiveRenderer:
             )
         self.frame += 1
         return True
+
+    def _step_sharded(self):
+        from raytracer_tpu.parallel.sharding import (
+            render_frame_restir_sharded,
+            render_frame_sharded,
+            replicate,
+        )
+
+        ubo = replicate(self._camera_ubo_dev, self.mesh)
+        if self.config.use_restir:
+            self.accum, self.reservoir = render_frame_restir_sharded(
+                self.device_scene, ubo, self.accum, self.reservoir,
+                jnp.uint32(self.frame), self.config, self.mesh,
+            )
+        else:
+            self.accum = render_frame_sharded(
+                self.device_scene, ubo, self.accum,
+                jnp.uint32(self.frame), self.config, self.mesh,
+            )
 
     def render(self, num_frames: int) -> np.ndarray:
         for _ in range(num_frames):
@@ -233,20 +343,22 @@ class ProgressiveRenderer:
         data = np.load(path)
         assert int(data["width"]) == self.config.width
         assert int(data["height"]) == self.config.height
-        self.accum = jnp.asarray(data["accum"])
+        self.accum = self._place_accum(jnp.asarray(data["accum"]))
         self.frame = int(data["frame"])
         if self.config.use_restir:
             from raytracer_tpu.integrator.restir import Reservoir
 
             if "reservoir_weight_sum" in data:
-                self.reservoir = Reservoir(**{
+                self.reservoir = self._place_reservoir(Reservoir(**{
                     k: jnp.asarray(data[f"reservoir_{k}"])
                     for k in Reservoir._fields
-                })
+                }))
             else:
                 # Pre-round-2 checkpoint without reservoir state: resume the
                 # accumulation but restart temporal reuse.
-                self.reservoir = Reservoir.empty(self.config.num_pixels)
+                self.reservoir = self._place_reservoir(
+                    Reservoir.empty(self.config.num_pixels)
+                )
         # Materialize the camera UBO now and clear the dirty flag so the
         # next begin_frame() doesn't wipe the restored accumulation (the
         # caller asserts the camera/scene match the checkpointed render).

@@ -67,6 +67,10 @@ def main(argv=None) -> int:
     )
     log = logging.getLogger("raytracer_tpu.cli")
 
+    from raytracer_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     scene = load_scene(args.scene)
     cfg = RenderConfig(
         width=args.width,

@@ -155,16 +155,15 @@ def _sample_light_point(scene, tri_global, r1, r2, cfg):
     confines samples to a 1-D curve while the pdf assumes uniform area
     sampling: measured +8% energy bias on Cornell.)"""
     ti = jnp.clip(tri_global, 0, scene.light_tri_packed.shape[0] - 1)
-    # ONE wide row gather instead of 5 narrow chained ones (gathers are
-    # row-throughput-bound; see light_tri_packed docs).
+    # ONE wide row gather, period: vertices, owning light, triangle count AND
+    # the light's emission (cols 12:15) all ride in the light_tri_packed row
+    # (gathers are row-throughput-bound; width is free).
     trow = scene.light_tri_packed[ti]
     v0 = trow[:, 0:3]
     e1 = trow[:, 3:6]
     e2 = trow[:, 6:9]
     light_idx = trow[:, 10].astype(jnp.int32)
     num_tris = trow[:, 11].astype(jnp.int32)
-    l_used = min(scene.num_lights, cfg.max_lights)
-    sel = jnp.clip(light_idx, 0, max(l_used - 1, 0))
     sqrt_r1 = jnp.sqrt(r1)
     bu = 1.0 - sqrt_r1
     bv = sqrt_r1 * (1.0 - r2)
@@ -172,7 +171,7 @@ def _sample_light_point(scene, tri_global, r1, r2, cfg):
     pos = bu[:, None] * v0 + bv[:, None] * (v0 + e1) + bw[:, None] * (v0 + e2)
     face_n = cross(e1, e2)
     area = 0.5 * length(face_n)
-    emission = scene.light_emission[sel]
+    emission = trow[:, 12:15]
     return pos, face_n, area, num_tris, emission, light_idx
 
 

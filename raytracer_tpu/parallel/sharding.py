@@ -47,6 +47,11 @@ def shard_accum(accum, mesh: Mesh):
     return jax.device_put(accum, NamedSharding(mesh, P(AXIS, None)))
 
 
+def shard_reservoir(reservoir, mesh: Mesh):
+    """Place a ReSTIR reservoir pytree sharded over its pixel dim."""
+    return jax.device_put(reservoir, NamedSharding(mesh, P(AXIS)))
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate the scene pytree / camera UBO on every chip."""
     return jax.device_put(tree, NamedSharding(mesh, P()))
@@ -129,85 +134,25 @@ def render_frame_restir_sharded(scene, camera_ubo, accum, reservoir,
     return fn(scene, camera_ubo, accum, reservoir, frame_number)
 
 
+def _progressive_renderer_cls():
+    from raytracer_tpu.api import ProgressiveRenderer
+
+    return ProgressiveRenderer
+
+
 class ShardedProgressiveRenderer:
-    """Multi-chip variant of api.ProgressiveRenderer: same semantics, pixel
-    tiles spread across the mesh. The image() gather is the only collective."""
+    """Thin convenience front for `api.ProgressiveRenderer(mesh=...)` —
+    the multi-chip logic now lives in the ONE renderer class (one reset
+    path re-places accum *and* reservoir; round-1 weak #6). Kept as a
+    distinct name so `from ...sharding import ShardedProgressiveRenderer`
+    keeps working; it defaults the mesh to all devices."""
 
-    def __init__(self, scene, camera=None, config: Optional[RenderConfig] = None,
-                 mesh: Optional[Mesh] = None):
-        from raytracer_tpu.api import ProgressiveRenderer
-
-        self.mesh = mesh or make_pixel_mesh()
-        self._inner = ProgressiveRenderer(scene, camera, config)
-        cfg = self._inner.config
-        if cfg.num_pixels % self.mesh.size != 0:
-            raise ValueError(
-                f"{cfg.width}x{cfg.height} pixels do not tile over "
-                f"{self.mesh.size} devices; adjust the height"
-            )
-        self._inner.device_scene = replicate(self._inner.device_scene, self.mesh)
-        self._inner.accum = shard_accum(self._inner.accum, self.mesh)
-        if self._inner.reservoir is not None:
-            self._inner.reservoir = self._shard_reservoir(
-                self._inner.reservoir
-            )
-
-    def _shard_reservoir(self, reservoir):
-        return jax.device_put(
-            reservoir, NamedSharding(self.mesh, P(AXIS))
+    def __new__(cls, scene, camera=None,
+                config: Optional[RenderConfig] = None,
+                mesh: Optional[Mesh] = None):
+        inst = _progressive_renderer_cls()(
+            scene, camera, config, mesh=mesh or make_pixel_mesh()
         )
-
-    @property
-    def config(self):
-        return self._inner.config
-
-    @property
-    def frame(self):
-        return self._inner.frame
-
-    def reset_accumulation(self):
-        self._inner.reset_accumulation()
-        self._inner.accum = shard_accum(self._inner.accum, self.mesh)
-        if self._inner.reservoir is not None:
-            self._inner.reservoir = self._shard_reservoir(
-                self._inner.reservoir
-            )
-
-    def step(self) -> bool:
-        inner = self._inner
-        inner.begin_frame()
-        limit = inner.config.accumulation_limit
-        if limit is not None and inner.frame >= limit:
-            return False
-        if not hasattr(inner.accum, "sharding") or inner.accum.sharding.is_fully_replicated:
-            inner.accum = shard_accum(inner.accum, self.mesh)
-        if inner.config.use_restir:
-            inner.accum, inner.reservoir = render_frame_restir_sharded(
-                inner.device_scene,
-                replicate(inner._camera_ubo_dev, self.mesh),
-                inner.accum,
-                inner.reservoir,
-                jnp.uint32(inner.frame),
-                inner.config,
-                self.mesh,
-            )
-        else:
-            inner.accum = render_frame_sharded(
-                inner.device_scene,
-                replicate(inner._camera_ubo_dev, self.mesh),
-                inner.accum,
-                jnp.uint32(inner.frame),
-                inner.config,
-                self.mesh,
-            )
-        inner.frame += 1
-        return True
-
-    def render(self, num_frames: int):
-        for _ in range(num_frames):
-            if not self.step():
-                break
-        return self.image()
-
-    def image(self):
-        return self._inner.image()
+        # Legacy alias from the pre-unification wrapper: r._inner is r.
+        inst._inner = inst
+        return inst

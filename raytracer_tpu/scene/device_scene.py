@@ -467,7 +467,8 @@ def _pack_pallas_parts(bvh, v0p, e1p, e2p, tri_object_p, leaf_size,
 def bake_scene(scene: Scene, leaf_size: int = 8,
                device_put: bool = True,
                reuse_bvh: BVH = None,
-               pallas_budget_bytes: int = None) -> Tuple[SceneOnDevice, BVH]:
+               pallas_budget_bytes: int = None,
+               pack_pallas: bool = True) -> Tuple[SceneOnDevice, BVH]:
     """Flatten + world-transform + BVH-build a CPU Scene.
 
     The analog of gpu_scene_init/bake (gpu_scene.odin:45,77-118). Returns
@@ -479,6 +480,12 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
     re-transformed triangles. Valid when the triangle COUNT and ordering
     basis are unchanged (transform edits); quality degrades under large
     motion exactly like a driver refit.
+
+    `pack_pallas=False` skips the pallas-kernel layouts (pnodes/ptris +
+    the 4-wide collapse qnodes/qmeta/qroot) entirely — accel='bvh'/'brute'
+    renderers never read them, and the collapse costs host bake time plus
+    ~512 B/row of device memory (placeholder 1-row arrays keep the pytree
+    structure).
     """
     if not scene.objects:
         raise ValueError("cannot bake an empty scene")
@@ -570,23 +577,36 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
     nodes_packed, tris_packed = _pack_traversal_arrays(
         bvh, v0p, e1p, e2p, tri_object_p, leaf_size
     )
-    pnodes, ptris, root_meta, pmeta = _pack_pallas_arrays(
-        bvh, v0p, e1p, e2p, tri_object_p, leaf_size
-    )
-    qnodes, qmeta, qroot, q_stack_need = collapse_bvh4(bvh)
     num_parts = 1
     part_max_depth = -1
-    if (pallas_budget_bytes is not None
-            and pallas_budget_bytes >= (1 << 16)  # degenerate (~0) budgets
-            # fall back to the single-part bake (api then picks accel='bvh')
-            # instead of exploding into per-leaf parts
-            and (qnodes.shape[0] + ptris.shape[0]) * 512
-            > pallas_budget_bytes):
-        (pnodes, ptris, root_meta, pmeta, qnodes, qmeta, qroot,
-         part_max_depth, q_stack_need) = _pack_pallas_parts(
-            bvh, v0p, e1p, e2p, tri_object_p, leaf_size, pallas_budget_bytes
+    if pack_pallas:
+        pnodes, ptris, root_meta, pmeta = _pack_pallas_arrays(
+            bvh, v0p, e1p, e2p, tri_object_p, leaf_size
         )
-        num_parts = pnodes.shape[0]
+        qnodes, qmeta, qroot, q_stack_need = collapse_bvh4(bvh)
+        if (pallas_budget_bytes is not None
+                and pallas_budget_bytes >= (1 << 16)  # degenerate (~0)
+                # budgets fall back to the single-part bake (api then picks
+                # accel='bvh') instead of exploding into per-leaf parts
+                and (qnodes.shape[0] + ptris.shape[0]) * 512
+                > pallas_budget_bytes):
+            (pnodes, ptris, root_meta, pmeta, qnodes, qmeta, qroot,
+             part_max_depth, q_stack_need) = _pack_pallas_parts(
+                bvh, v0p, e1p, e2p, tri_object_p, leaf_size,
+                pallas_budget_bytes
+            )
+            num_parts = pnodes.shape[0]
+    else:
+        # Placeholder rows: keep the pytree fields present (and harmlessly
+        # tiny) for accels that never read them.
+        pnodes = np.zeros((1, 16), np.float32)
+        ptris = np.zeros((1, leaf_size * 12), np.float32)
+        root_meta = np.zeros((1,), np.int32)
+        pmeta = np.zeros((2,), np.int32)
+        qnodes = np.full((1, 32), np.nan, np.float32)
+        qmeta = np.zeros((4,), np.int32)
+        qroot = np.zeros((1,), np.int32)
+        q_stack_need = 1
 
     materials = scene.materials
 
@@ -605,13 +625,22 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
     if num_lights:
         obj_light_num[np.asarray(light_object, np.int64)] = np.asarray(
             light_count, np.int32)
-    light_tri_packed = np.zeros((num_tris, 12), np.float32)
+    light_tri_packed = np.zeros((num_tris, 16), np.float32)
     light_tri_packed[:, 0:3] = v0
     light_tri_packed[:, 3:6] = e1
     light_tri_packed[:, 6:9] = e2
     light_tri_packed[:, 9] = tri_object.astype(np.float32)
     light_tri_packed[:, 10] = obj_light_index[tri_object].astype(np.float32)
     light_tri_packed[:, 11] = obj_light_num[tri_object].astype(np.float32)
+    # Owning light's emission rides in the SAME row (cols 12:15) so ReSTIR's
+    # _sample_light_point needs no second gather; material edits refresh
+    # these columns on-device (update_materials).
+    if num_lights:
+        own = obj_light_index[tri_object]
+        light_tri_packed[:, 12:15] = np.where(
+            (own >= 0)[:, None],
+            light_emission_arr[np.clip(own, 0, num_lights - 1)], 0.0
+        )
 
     def as_device(x):
         return jax.device_put(x) if device_put else x
@@ -720,19 +749,21 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
     return ds, bvh
 
 
-def update_materials(ds: SceneOnDevice, scene: Scene) -> SceneOnDevice:
+def update_materials(ds: SceneOnDevice, scene: Scene,
+                     **bake_kwargs) -> SceneOnDevice:
     """Cheap incremental material update (gpu_scene_update_material,
     gpu_scene.odin:560-601): rewrite the material SoA and light emissions
     without touching geometry or the BVH. Falls back to a full bake when the
     set of emissive objects changed (the reference also rebuilds lights +
-    TLAS masks in that case)."""
+    TLAS masks in that case); `bake_kwargs` (leaf_size, pallas_budget_bytes,
+    pack_pallas, ...) parameterize that fallback bake."""
     mats = scene.materials
     emissive_now = [
         oi for oi, o in enumerate(scene.objects)
         if mats[o.material_index].emission_power > 0
     ]
     if emissive_now != list(np.asarray(ds.light_object).tolist()):
-        new_ds, _ = bake_scene(scene)
+        new_ds, _ = bake_scene(scene, **bake_kwargs)
         return new_ds
     light_emission = np.asarray(
         [
@@ -776,7 +807,26 @@ def update_materials(ds: SceneOnDevice, scene: Scene) -> SceneOnDevice:
         light_meta_packed=jax.device_put(_refresh_light_meta(
             np.asarray(ds.light_meta_packed), light_emission, light_power
         )),
+        light_tri_packed=_refresh_light_tri_emission(
+            ds.light_tri_packed, light_emission
+        ),
     )
+
+
+def _refresh_light_tri_emission(light_tri_packed, light_emission: np.ndarray):
+    """Rewrite the per-row emission columns (12:15) of light_tri_packed
+    on-device after a material edit (the rows' owning-light index is
+    col 10)."""
+    import jax.numpy as jnp
+
+    li = light_tri_packed[:, 10].astype(jnp.int32)
+    em = jnp.asarray(light_emission, jnp.float32)
+    if em.shape[0] == 0:
+        return light_tri_packed
+    new_em = jnp.where(
+        (li >= 0)[:, None], em[jnp.clip(li, 0, em.shape[0] - 1)], 0.0
+    )
+    return light_tri_packed.at[:, 12:15].set(new_em)
 
 
 def _refresh_light_meta(meta: np.ndarray, light_emission: np.ndarray,
