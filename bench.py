@@ -144,6 +144,64 @@ def atrium_1m_datapoint(step):
     }
 
 
+def restir_datapoint(ds, ubo):
+    """1080p ReSTIR DI on the same atrium (BASELINE config 5): the reference
+    ships restir.rgen scaffolding for a performance win
+    (/root/reference/shaders/restir.rgen:17-92); this records ours — with
+    and without the step-3 initial-visibility pass (each toggle is a
+    separate compile; the toggle consumes no RNG draws)."""
+    import functools
+
+    from raytracer_tpu.integrator.restir import (
+        Reservoir,
+        render_wavefront_restir,
+    )
+    from raytracer_tpu.integrator.wavefront import accumulate
+    from raytracer_tpu.utils.config import RenderConfig
+
+    out = {}
+    for iv in (True, False):
+        cfg = RenderConfig(width=WIDTH, height=HEIGHT, max_depth=3,
+                           accel="pallas", use_restir=True,
+                           restir_initial_visibility=iv)
+
+        @functools.partial(jax.jit, static_argnames=("cfg",),
+                           donate_argnums=(2, 3))
+        def step(ds, ubo, accum, res, frame, cfg):
+            rad, new_res, stats = render_wavefront_restir(
+                ds, ubo, res, frame, cfg, with_stats=True)
+            return (accumulate(accum, rad, frame), new_res,
+                    stats["total_rays"])
+
+        accum = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+        res = Reservoir.empty(cfg.num_pixels)
+        for f in range(2):
+            accum, res, nrays = step(ds, ubo, accum, res, jnp.uint32(f), cfg)
+            drain(accum)
+        frames = 5
+        total = 0
+        times = []
+        for f in range(2, 2 + frames):
+            t0 = time.perf_counter()
+            accum, res, nrays = step(ds, ubo, accum, res, jnp.uint32(f), cfg)
+            drain(accum)
+            times.append(time.perf_counter() - t0)
+            total += int(nrays)
+        ft = np.asarray(times)
+        if ft.max() > 2.0 * np.median(ft):
+            log(f"WARNING: restir(iv={iv}) outlier {ft.max():.2f}s vs "
+                f"median {np.median(ft):.2f}s")
+        key = "restir" if iv else "restir_no_initial_visibility"
+        out[key] = {
+            "mrays_per_sec": round(total / sum(times) / 1e6, 2),
+            "ms_per_frame": round(1e3 * sum(times) / frames, 1),
+            "rays_per_frame": total // frames,
+            "frame_times_s": [round(t, 2) for t in times],
+            "mean_radiance": float(np.asarray(accum).mean()),
+        }
+    return out
+
+
 def main():
     from raytracer_tpu.integrator.wavefront import render_wavefront
     from raytracer_tpu.ops.camera import Camera
@@ -226,6 +284,20 @@ def main():
     big = atrium_1m_datapoint(step)
     if big:
         log(json.dumps({"atrium_1m_multipart": big}))
+    restir = restir_datapoint(ds, ubo)
+    if restir:
+        log(json.dumps(restir))
+
+    import os as _os
+
+    if _os.environ.get("RAYTRACER_TPU_SKIP_SMOKE") != "1":
+        # On-TPU Mosaic regression check: real-kernel hit-identity vs the
+        # XLA walk, recorded in TPU_SMOKE.json (tools/tpu_smoke.py).
+        sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+        from tools.tpu_smoke import run as smoke_run
+
+        if not smoke_run():
+            log("WARNING: TPU kernel smoke FAILED — see TPU_SMOKE.json")
     log(json.dumps({
         "detail": {
             "scene": "procedural_atrium",

@@ -1,0 +1,145 @@
+"""Timed interactive editing session — the reference's editor workflow,
+headless, with per-edit latency asserts.
+
+The reference's UX is its ImGui editor loop (src/raytracer/ui.odin:262-484):
+drag the camera, drag an object transform, repaint a material, watch the
+progressive render restart live. This drives the SAME edit pipeline through
+the public API at preview resolution and *measures* every edit-to-next-frame
+latency (edit + journal replay + device update + one progressive sample +
+preview readback):
+
+  - camera move        -> dirty-camera accumulation reset
+  - transform drag     -> BVH refit (TLAS UPDATE parity) + re-upload
+  - material repaint   -> material-table fast path
+  - light dim/brighten -> material fast path incl. packed light tables
+  - object add         -> full re-bake (the reference also rebuilds its AS;
+                          reported, not latency-gated: a topology change
+                          re-jits, the XLA analog of pipeline recompile —
+                          warm-started by the persistent compile cache)
+
+Pass --assert-interactive to enforce the <1 s per-edit gate (used on TPU;
+the gate is meaningless under CPU interpret mode).
+
+Run from the repo root:  python examples/interactive_session.py [--1080p]
+"""
+
+import dataclasses
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from raytracer_tpu.api import ProgressiveRenderer
+from raytracer_tpu.ops.camera import Camera
+from raytracer_tpu.scene.model import (
+    Material,
+    create_cornell_box,
+    create_sphere,
+)
+from raytracer_tpu.utils.compile_cache import enable_persistent_cache
+from raytracer_tpu.utils.config import RenderConfig
+from raytracer_tpu.utils.stats import RenderStats
+
+
+def main():
+    enable_persistent_cache()
+    hi = "--1080p" in sys.argv
+    w, h = (1920, 1080) if hi else (512, 288)
+    gate = "--assert-interactive" in sys.argv
+    scene = create_cornell_box()
+    cfg = RenderConfig(width=w, height=h)
+    t0 = time.perf_counter()
+    r = ProgressiveRenderer(scene, None, cfg)
+    stats = RenderStats()
+    stats.set_scene_counts(scene)
+    print(f"startup (bake): {time.perf_counter()-t0:.2f}s", flush=True)
+
+    def frame():
+        stats.frame_begin()
+        r.step()
+        np.asarray(r.accum[:1])  # force (preview readback surrogate)
+        stats.frame_end()
+
+    # Warm: first frame compiles (persistent cache -> seconds when warm).
+    t0 = time.perf_counter()
+    frame()
+    print(f"first frame (compile or cache hit): "
+          f"{time.perf_counter()-t0:.2f}s", flush=True)
+    for _ in range(4):
+        frame()
+
+    latencies = {}
+
+    def edit(tag, fn, expect_reset=True):
+        before = r.frame
+        t0 = time.perf_counter()
+        fn()
+        frame()
+        dt = time.perf_counter() - t0
+        latencies[tag] = dt
+        if expect_reset:
+            assert r.frame <= before, (
+                f"{tag}: edit must reset accumulation (frame {before} -> "
+                f"{r.frame})"
+            )
+        print(f"edit [{tag:16s}]: {dt*1e3:7.1f} ms to next frame",
+              flush=True)
+
+    # 1. camera move (ui.odin camera controller drag)
+    edit("camera_move", lambda: r.set_camera(Camera.create(
+        position=(0.25, 0.1, -2.8), aspect=w / h)))
+
+    # 2. transform drag (refit path)
+    obj_idx = 0
+    tr = scene.objects[obj_idx].transform
+    def drag():
+        scene.update_object_position(
+            obj_idx, tuple(np.asarray(tr.position) + [0.05, 0.0, 0.0]))
+    edit("transform_drag", drag)
+
+    # 3. material repaint
+    mat_idx = scene.objects[obj_idx].material_index
+    def repaint():
+        m = scene.materials[mat_idx]
+        scene.update_material(
+            mat_idx, dataclasses.replace(m, albedo=(0.85, 0.15, 0.1)))
+    edit("material_paint", repaint)
+
+    # 4. light brighten (packed light-table refresh path)
+    li = next(i for i, m in enumerate(scene.materials)
+              if m.emission_power > 0)
+    def brighten():
+        m = scene.materials[li]
+        scene.update_material(
+            li, dataclasses.replace(m, emission_power=m.emission_power * 2))
+    edit("light_brighten", brighten)
+
+    # 5. object add (topology change: full re-bake + re-jit; not gated)
+    def add_obj():
+        mesh_idx = scene.add_mesh(create_sphere(8, 8))
+        mat = scene.add_material(Material(albedo=(0.2, 0.4, 0.9)))
+        scene.add_object("added_sphere", mesh_idx, mat,
+                         position=(0.0, -0.3, 0.2),
+                         scale=(0.25, 0.25, 0.25))
+    edit("object_add", add_obj)
+
+    # settle: accumulate a few frames post-edit
+    for _ in range(5):
+        frame()
+    print(stats.format_table(), flush=True)
+
+    interactive = {k: v for k, v in latencies.items() if k != "object_add"}
+    worst = max(interactive.values())
+    print(f"worst interactive edit latency: {worst*1e3:.1f} ms "
+          f"(object_add: {latencies['object_add']*1e3:.1f} ms)", flush=True)
+    if gate:
+        assert worst < 1.0, (
+            f"interactive edit latency {worst:.2f}s breaches the 1 s gate"
+        )
+        print("PASS: all interactive edits under 1 s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

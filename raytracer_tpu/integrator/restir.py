@@ -260,7 +260,8 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
     n = gbuf.position.shape[0]
     l_used = min(scene.num_lights, cfg.max_lights)
     if l_used == 0:
-        return jnp.zeros((n, 3), jnp.float32), Reservoir.empty(n)
+        return (jnp.zeros((n, 3), jnp.float32), Reservoir.empty(n),
+                jnp.int32(0))
 
     pixel_idx = (
         jnp.asarray(pixel_start, jnp.uint32) + jnp.arange(n, dtype=jnp.uint32)
@@ -329,35 +330,41 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
                                 cand_weight, r_keep)
     res = _finalize(res)
 
-    # --- 3. visibility for the survivor ---
-    radiance, dist, lpos, wi, valid = _unshadowed_radiance(
-        scene, gbuf, wo_world, res.light_index, res.uv, cfg
-    )
-    light_obj = scene.light_tri_object[
-        jnp.clip(res.light_index, 0, lt_count - 1)
-    ]
+    # --- 3. visibility for the survivor (optional, see
+    # cfg.restir_initial_visibility; consumes no RNG draws) ---
     eps = 0.001
-    offset_from = gbuf.position + gbuf.normal * (
-        eps * jnp.sign(dot_k(gbuf.normal, wi))
-    )
-    sr = lpos - offset_from
-    sr_dist = length(sr)
-    sr_dir = sr / jnp.maximum(sr_dist, 1e-20)[:, None]
-    occ = occlusion_fn(offset_from, sr_dir, sr_dist * 0.999, light_obj,
-                       valid & (sr_dist > 0.0))
-    # Visibility reuse (Bitterli et al. 2020, Alg. 5): a killed reservoir must
-    # contribute nothing downstream. Zeroing only `w` is insufficient — the
-    # _finalize calls after temporal/spatial reuse recompute
-    # w = weight_sum/(M·p̂) from weight_sum, which would resurrect the occluded
-    # sample — so the sample payload itself is invalidated (M is kept, as the
-    # candidate count remains part of the RIS history).
-    killed = occ | ~valid
-    res = res._replace(
-        w=jnp.where(killed, 0.0, res.w),
-        weight_sum=jnp.where(killed, 0.0, res.weight_sum),
-        target_pdf=jnp.where(killed, 0.0, res.target_pdf),
-        light_index=jnp.where(killed, -1, res.light_index),
-    )
+    shadow_rays = jnp.int32(0)
+    if cfg.restir_initial_visibility:
+        radiance, dist, lpos, wi, valid = _unshadowed_radiance(
+            scene, gbuf, wo_world, res.light_index, res.uv, cfg
+        )
+        light_obj = scene.light_tri_object[
+            jnp.clip(res.light_index, 0, lt_count - 1)
+        ]
+        offset_from = gbuf.position + gbuf.normal * (
+            eps * jnp.sign(dot_k(gbuf.normal, wi))
+        )
+        sr = lpos - offset_from
+        sr_dist = length(sr)
+        sr_dir = sr / jnp.maximum(sr_dist, 1e-20)[:, None]
+        occ_active = valid & (sr_dist > 0.0)
+        occ = occlusion_fn(offset_from, sr_dir, sr_dist * 0.999, light_obj,
+                           occ_active)
+        shadow_rays = shadow_rays + jnp.sum(occ_active.astype(jnp.int32))
+        # Visibility reuse (Bitterli et al. 2020, Alg. 5): a killed reservoir
+        # must contribute nothing downstream. Zeroing only `w` is
+        # insufficient — the _finalize calls after temporal/spatial reuse
+        # recompute w = weight_sum/(M·p̂) from weight_sum, which would
+        # resurrect the occluded sample — so the sample payload itself is
+        # invalidated (M is kept, as the candidate count remains part of the
+        # RIS history).
+        killed = occ | ~valid
+        res = res._replace(
+            w=jnp.where(killed, 0.0, res.w),
+            weight_sum=jnp.where(killed, 0.0, res.weight_sum),
+            target_pdf=jnp.where(killed, 0.0, res.target_pdf),
+            light_index=jnp.where(killed, -1, res.light_index),
+        )
 
     # --- 4. temporal reuse ---
     if prev_reservoir is not None:
@@ -453,18 +460,22 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
     sr_dist = length(sr)
     sr_dir = sr / jnp.maximum(sr_dist, 1e-20)[:, None]
     shadeable = valid & (res.w > 0.0)
+    occ_final_active = shadeable & (sr_dist > 0.0)
     occ_final = occlusion_fn(offset_from, sr_dir, sr_dist * 0.999, light_obj,
-                             shadeable & (sr_dist > 0.0))
+                             occ_final_active)
+    shadow_rays = shadow_rays + jnp.sum(occ_final_active.astype(jnp.int32))
     direct = radiance * res.w[:, None]
     direct = jnp.where((shadeable & ~occ_final)[:, None], direct, 0.0)
-    return direct, res
+    return direct, res, shadow_rays
 
 
 def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
                             cfg: RenderConfig, pixel_start=0, num_pixels=None,
-                            num_tiles: int = 1, axis_name=None):
+                            num_tiles: int = 1, axis_name=None,
+                            with_stats: bool = False):
     """One progressive sample with ReSTIR DI at the primary vertex and
-    path-traced indirect bounces. Returns (radiance f32[N,3], reservoir).
+    path-traced indirect bounces. Returns (radiance f32[N,3], reservoir)
+    (plus a measured-ray-count stats dict with with_stats=True).
 
     The primary trace doubles as the G-buffer pass (restir.rgen); the
     standard _shade machinery runs with suppress_nee=True at the primary
@@ -541,7 +552,7 @@ def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
     def occlusion_fn(o, d, t_max, skip_obj, active):
         return wf._occluded(scene, o, d, t_max, skip_obj, cfg, active)
 
-    direct, reservoir = restir_direct(
+    direct, reservoir, restir_shadow_rays = restir_direct(
         scene, gbuf, direction, prev_reservoir, frame_number, cfg,
         occlusion_fn, pixel_start=pixel_start, num_tiles=num_tiles,
         axis_name=axis_name,
@@ -581,6 +592,7 @@ def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
     # --- indirect bounces (standard path tracing with NEE) ---
     def bounce(depth, carry):
         state, rays, shadows = carry
+        rays = rays + jnp.sum(state.alive.astype(jnp.int32))
         if cfg.accel == "pallas":
             state = wf._sort_wavefront(state, scene)
         rr_lane = state.alive & (depth >= cfg.rr_start_depth)
@@ -617,7 +629,7 @@ def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
         )
         return state._replace(alive=state.alive & ~bad), rays, shadows + sh
 
-    state, _, _ = jax.lax.fori_loop(
+    state, indirect_rays, indirect_shadows = jax.lax.fori_loop(
         1, cfg.max_depth, bounce, (state, jnp.int32(0), jnp.int32(0))
     )
 
@@ -626,6 +638,16 @@ def render_wavefront_restir(scene, camera_ubo, prev_reservoir, frame_number,
     radiance = jnp.where(invalid[:, None], 0.0, final)
     if cfg.accel == "pallas":
         radiance = jnp.zeros_like(radiance).at[state.pixel].set(radiance)
+    if with_stats:
+        total = (jnp.int32(n) + restir_shadow_rays + indirect_rays
+                 + indirect_shadows)
+        return radiance, reservoir, {
+            "primary_rays": jnp.int32(n),
+            "restir_shadow_rays": restir_shadow_rays,
+            "indirect_rays": indirect_rays,
+            "indirect_shadow_rays": indirect_shadows,
+            "total_rays": total,
+        }
     return radiance, reservoir
 
 

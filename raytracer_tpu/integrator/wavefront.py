@@ -291,19 +291,25 @@ def _occluded_pallas_sorted(scene, origin, direction, t_max, skip_object,
     return jnp.zeros((n,), bool).at[perm].set(occ_s) & active
 
 
-def _light_weights(scene, hit_pos, skip_object, cfg: RenderConfig):
+def _light_weights(scene, hit_pos, skip_object, cfg: RenderConfig,
+                   w_all=None):
     """Power/distance² light weights over the first min(L, MAXLIGHTS) lights
     (computeLightWeight/computeTotalLightWeight, simple.rchit:507-534).
-    Returns ([N,Lc] weights with `skip_object` zeroed, [N] total)."""
-    l_used = min(scene.num_lights, cfg.max_lights)
-    centers = scene.light_center[:l_used]  # [Lc,3]
-    powers = scene.light_power[:l_used]
-    light_objs = scene.light_object[:l_used]
+    Returns ([N,Lc] weights with `skip_object` zeroed, [N] total).
 
-    diff = hit_pos[:, None, :] - centers[None, :, :]  # [N,Lc,3]
-    dist_sq = jnp.sum(diff * diff, axis=-1)
-    w = powers[None, :] / jnp.maximum(dist_sq, 0.001)
-    w = jnp.where(light_objs[None, :] == skip_object[:, None], 0.0, w)
+    `w_all` (the un-skipped [N,Lc] weights from a previous call at the SAME
+    hit positions) skips the [N,L,3] distance pass: the skip-zeroing is the
+    last op, so deriving from w_all is bit-identical — the NEE and
+    emissive-MIS blocks share one distance pass per bounce."""
+    l_used = min(scene.num_lights, cfg.max_lights)
+    light_objs = scene.light_object[:l_used]
+    if w_all is None:
+        centers = scene.light_center[:l_used]  # [Lc,3]
+        powers = scene.light_power[:l_used]
+        diff = hit_pos[:, None, :] - centers[None, :, :]  # [N,Lc,3]
+        dist_sq = jnp.sum(diff * diff, axis=-1)
+        w_all = powers[None, :] / jnp.maximum(dist_sq, 0.001)
+    w = jnp.where(light_objs[None, :] == skip_object[:, None], 0.0, w_all)
     return w, jnp.sum(w, axis=-1)
 
 
@@ -482,6 +488,17 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig,
     # --- NEE with MIS (simple.rchit:618-632) ---
     did_direct = jnp.zeros(n, bool)
     p_sample_light = jnp.clip(roughness, 0.1, 0.9)
+    # One power/dist² distance pass per bounce, shared bit-identically by
+    # the NEE selection (skip-zeroed view) and the emissive-MIS selection
+    # pdf (un-skipped view) — the zeroing is _light_weights' last op.
+    if cfg.use_direct_lighting and scene.num_lights > 0:
+        l_used_w = min(scene.num_lights, cfg.max_lights)
+        _diff = world_pos[:, None, :] - scene.light_center[None, :l_used_w, :]
+        w_base = scene.light_power[None, :l_used_w] / jnp.maximum(
+            jnp.sum(_diff * _diff, axis=-1), 0.001
+        )
+    else:
+        w_base = None
     if suppress_nee:
         # ReSTIR owns direct lighting at this vertex; flag lanes did_direct
         # so the next bounce's emissive-hit MIS path stays suppressed.
@@ -500,7 +517,8 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig,
             # USE_MIS=0 (simple.rchit:628-631): NEE every bounce, weight 1.
             do_nee = surface_lane
 
-        weights, total_w = _light_weights(scene, world_pos, obj, cfg)
+        weights, total_w = _light_weights(scene, world_pos, obj, cfg,
+                                          w_all=w_base)
         has_weight = total_w > 0.0
         m_sel = do_nee & has_weight
         r_sel, seed = rng.rnd_masked(seed, m_sel)
@@ -609,9 +627,10 @@ def _shade(scene, state: WavefrontState, hit, cfg: RenderConfig,
                 * d * d / jnp.maximum(cos_light, 1e-20)
             )
             # computeLightSelectionPdf uses the un-skipped total
-            # (simple.rchit:536-541).
+            # (simple.rchit:536-541); reuses the bounce's one distance pass.
             w_all, _ = _light_weights(
-                scene, world_pos, jnp.full((n,), -1, jnp.int32), cfg
+                scene, world_pos, jnp.full((n,), -1, jnp.int32), cfg,
+                w_all=w_base,
             )
             total_all = jnp.sum(w_all, axis=-1)
             l_used = min(scene.num_lights, cfg.max_lights)

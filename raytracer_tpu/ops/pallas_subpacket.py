@@ -107,19 +107,43 @@ def _check(scene):
     )
 
 
-def _scene_parts(scene):
+def _scene_parts(scene, origin=None):
     """Per-part (qroot, qmeta, qnodes, ptris) views of the 4-wide collapsed
     tree. Scenes whose packed arrays exceed the VMEM budget are baked as
     subtree parts with a leading [P] axis
     (scene/device_scene.py:_pack_pallas_parts); the kernels then run one
     sequential pass per part, folding best-t / the occlusion mask across
     passes — the VMEM analog of the reference's 256 MB-batched AS builds
-    (gpu_scene.odin:279-315)."""
+    (gpu_scene.odin:279-315).
+
+    With `origin` (the wavefront's ray origins) and baked part AABBs, the
+    passes are ordered NEAR-TO-FAR from the wavefront centroid, so the
+    folded t-cap/occlusion mask from early passes prunes the later ones
+    (round-2 traversed parts in fixed bake order; the 1M-tri bench paid
+    ~1.9x per ray because the far part often ran first). Ordering cannot
+    change results: each pass's cap only tightens, and any accepted later
+    hit is strictly closer (duplicated split-refs tie at equal t and are
+    the same triangle). The traced part index makes each per-part array a
+    dynamic slice — an HBM copy of ~tens of MB per pass, microseconds
+    against a pass's hundreds of ms."""
     p = getattr(scene, "num_parts", 1)
     if p <= 1:
         return [(scene.qroot, scene.qmeta, scene.qnodes, scene.ptris)]
+    aabb = getattr(scene, "part_aabb", None)
+    if origin is None or aabb is None:
+        return [
+            (scene.qroot[k], scene.qmeta[k], scene.qnodes[k], scene.ptris[k])
+            for k in range(p)
+        ]
+    centroid = jnp.mean(origin, axis=0)
+    lo = aabb[:, 0:3]
+    hi = aabb[:, 3:6]
+    clamped = jnp.clip(centroid[None, :], lo, hi)
+    d2 = jnp.sum((centroid[None, :] - clamped) ** 2, axis=1)
+    order = jnp.argsort(d2)
     return [
-        (scene.qroot[k], scene.qmeta[k], scene.qnodes[k], scene.ptris[k])
+        (scene.qroot[order[k]], scene.qmeta[order[k]],
+         scene.qnodes[order[k]], scene.ptris[order[k]])
         for k in range(p)
     ]
 
@@ -593,13 +617,14 @@ def intersect_bvh_subpacket(origin, direction, scene, t_min, t_max,
     ox, oy, oz, dx, dy, dz = _ray_tiles(origin, direction, n_tiles)
     tmax_t = _to_tiles(t_max, n_tiles, fill=1e-3)
 
-    # Sequential per-part passes; the running best-t is each next pass's
-    # t-cap, so later parts prune against earlier hits. A part hit
-    # (tri >= 0) is strictly closer than the cap by construction.
+    # Sequential per-part passes, near-to-far from the wavefront centroid;
+    # the running best-t is each next pass's t-cap, so later (farther) parts
+    # prune against earlier hits. A part hit (tri >= 0) is strictly closer
+    # than the cap by construction.
     t = tmax_t
     tri = None
     u = v = None
-    for root_meta, pmeta, pnodes, ptris in _scene_parts(scene):
+    for root_meta, pmeta, pnodes, ptris in _scene_parts(scene, origin):
         tp, trip, up, vp = _run_closest(
             ox, oy, oz, dx, dy, dz, t, root_meta, pmeta, pnodes, ptris,
             interpret,
@@ -634,10 +659,10 @@ def occlusion_bvh_subpacket(origin, direction, t_min, t_max, scene,
     tmax_t = _to_tiles(t_max, n_tiles, fill=1e-3)
     skip_t = _to_tiles(jnp.asarray(skip_object, jnp.int32), n_tiles, fill=-1)
 
-    # Sequential per-part passes; already-occluded lanes stop traversing in
-    # later parts (their t-cap collapses to t_min).
+    # Sequential per-part passes, near-to-far; already-occluded lanes stop
+    # traversing in later parts (their t-cap collapses to t_min).
     occ = None
-    for root_meta, pmeta, pnodes, ptris in _scene_parts(scene):
+    for root_meta, pmeta, pnodes, ptris in _scene_parts(scene, origin):
         t_eff = tmax_t if occ is None else jnp.where(occ > 0, 1e-3, tmax_t)
         (occ_p,) = _run_occlusion(
             ox, oy, oz, dx, dy, dz, t_eff, skip_t, root_meta, pmeta,

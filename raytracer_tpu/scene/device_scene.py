@@ -188,6 +188,11 @@ class SceneOnDevice:
     q_stack_need: int = dataclasses.field(
         default=0, metadata=dict(static=True)
     )
+    # Part root AABBs f32[P,6] (min.xyz, max.xyz), only when num_parts > 1:
+    # the kernels order the sequential per-part passes near-to-far from the
+    # wavefront centroid so the folded best-t/occlusion cap actually prunes
+    # later parts (ordering cannot change results — it only tightens caps).
+    part_aabb: jax.Array = None
 
     @property
     def num_nodes(self) -> int:
@@ -423,10 +428,12 @@ def _pack_pallas_parts(bvh, v0p, e1p, e2p, tri_object_p, leaf_size,
     parts = _cut_parts(bvh, budget_bytes)
     packs = []
     qpacks = []
+    aabbs = []
     max_depth = 0
     stack_need = 0
     for (i, j) in parts:
         sb = _slice_bvh(bvh, i, j)
+        aabbs.append(np.concatenate([sb.nodes_min[0], sb.nodes_max[0]]))
         packs.append(_pack_pallas_arrays(
             sb, v0p, e1p, e2p, tri_object_p, leaf_size
         ))
@@ -460,8 +467,9 @@ def _pack_pallas_parts(bvh, v0p, e1p, e2p, tri_object_p, leaf_size,
         qnodes[k, : qn.shape[0]] = qn
         qmeta[k, : qm.shape[0]] = qm
         qroot[k] = qr
+    part_aabb = np.stack(aabbs).astype(np.float32)
     return (pnodes, ptris, root_meta, pmeta, qnodes, qmeta, qroot,
-            max_depth, stack_need)
+            max_depth, stack_need, part_aabb)
 
 
 def bake_scene(scene: Scene, leaf_size: int = 8,
@@ -579,6 +587,7 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
     )
     num_parts = 1
     part_max_depth = -1
+    part_aabb = None
     if pack_pallas:
         pnodes, ptris, root_meta, pmeta = _pack_pallas_arrays(
             bvh, v0p, e1p, e2p, tri_object_p, leaf_size
@@ -591,7 +600,7 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
                 and (qnodes.shape[0] + ptris.shape[0]) * 512
                 > pallas_budget_bytes):
             (pnodes, ptris, root_meta, pmeta, qnodes, qmeta, qroot,
-             part_max_depth, q_stack_need) = _pack_pallas_parts(
+             part_max_depth, q_stack_need, part_aabb) = _pack_pallas_parts(
                 bvh, v0p, e1p, e2p, tri_object_p, leaf_size,
                 pallas_budget_bytes
             )
@@ -745,6 +754,7 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
         num_parts=num_parts,
         part_max_depth=part_max_depth,
         q_stack_need=q_stack_need,
+        part_aabb=(as_device(part_aabb) if part_aabb is not None else None),
     )
     return ds, bvh
 

@@ -86,6 +86,14 @@ class RenderConfig:
     restir_spatial_neighbors: int = 4
     restir_spatial_radius: float = 16.0
     restir_max_m: int = 128
+    # Step-3 visibility (Bitterli et al. Alg. 5 "visibility reuse"): trace a
+    # shadow ray for the initial RIS survivor so occluded samples don't
+    # poison temporal/spatial reuse. Costs one full any-hit pass per frame
+    # on top of the final-sample visibility; disable to trade a little
+    # reuse quality for ~halving ReSTIR's shadow-ray cost (the final
+    # visibility pass always runs, so the estimator stays unbiased either
+    # way). Consumes no RNG draws, so toggling never shifts streams.
+    restir_initial_visibility: bool = True
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:

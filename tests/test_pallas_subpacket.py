@@ -144,3 +144,40 @@ def test_single_leaf_root(rng_np):
     np.testing.assert_array_equal(
         np.asarray(ref.tri)[hits], np.asarray(got.tri)[hits]
     )
+
+
+def test_part_order_does_not_change_results(rng_np):
+    """Near-to-far part ordering (round 3) only tightens t-caps; results
+    must be identical to the fixed bake-order traversal."""
+    import dataclasses
+
+    from raytracer_tpu.scene.device_scene import bake_scene
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    scene = create_cornell_box()
+    dsp, _ = bake_scene(scene, pallas_budget_bytes=96 * 1024)
+    assert dsp.num_parts > 1
+    assert dsp.part_aabb is not None
+    assert dsp.part_aabb.shape == (dsp.num_parts, 6)
+    # Disable ordering by dropping the AABBs -> fixed bake order.
+    ds_fixed = dataclasses.replace(dsp, part_aabb=None)
+
+    r = 900
+    o = rng_np.uniform(-2, 2, (r, 3)).astype(np.float32)
+    d = rng_np.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    a = intersect_bvh_subpacket(o, d, ds_fixed, 1e-3, 1e4, interpret=True)
+    b = intersect_bvh_subpacket(o, d, dsp, 1e-3, 1e4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(b.tri))
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+
+    t_max = jnp.full((r,), 1e4, jnp.float32)
+    skip = jnp.full((r,), -1, jnp.int32)
+    occ_a = occlusion_bvh_subpacket(o, d, 1e-3, t_max, ds_fixed, skip,
+                                    interpret=True)
+    occ_b = occlusion_bvh_subpacket(o, d, 1e-3, t_max, dsp, skip,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))

@@ -143,10 +143,10 @@ def test_restir_visibility_kills_occluded_samples():
     def all_occluded(o, d, t_max, skip_obj, active):
         return jnp.ones((n,), bool)
 
-    direct_vis, res_vis = restir_direct(
+    direct_vis, res_vis, _ = restir_direct(
         ds, gbuf, direction, None, 1, cfg, all_visible
     )
-    direct_occ, res_occ = restir_direct(
+    direct_occ, res_occ, _ = restir_direct(
         ds, gbuf, direction, None, 1, cfg, all_occluded
     )
     assert float(jnp.sum(direct_vis)) > 0.0
@@ -196,3 +196,26 @@ def test_restir_checkpoint_roundtrip(tmp_path):
     r.step()
     r2.step()
     assert np.allclose(np.asarray(r.accum), np.asarray(r2.accum))
+
+
+def test_restir_no_initial_visibility_stays_close():
+    """cfg.restir_initial_visibility=False drops the step-3 pass (half the
+    ReSTIR shadow rays); the final-sample visibility keeps the estimator
+    correct, so the accumulated Cornell render must stay close to the
+    default pipeline (it consumes no RNG draws, so streams are unshifted)."""
+    import numpy as np
+
+    from raytracer_tpu.api import ProgressiveRenderer
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    frames = 24
+    base_cfg = RenderConfig(width=24, height=24, use_restir=True)
+    a = ProgressiveRenderer(create_cornell_box(), None, base_cfg).render(frames)
+    b = ProgressiveRenderer(
+        create_cornell_box(), None,
+        base_cfg.replace(restir_initial_visibility=False),
+    ).render(frames)
+    ma, mb = float(a.mean()), float(b.mean())
+    assert abs(ma - mb) / max(ma, 1e-9) < 0.06, (ma, mb)
+    diff = np.abs(a - b).mean()
+    assert diff / max(ma, 1e-9) < 0.35, diff

@@ -99,6 +99,47 @@ def _leaf_step_divfree(leaf_size, ptris_ref, t_ref, tri_ref, u_ref, v_ref,
     return sps, tuple(new_lqns)
 
 
+def _leaf_step_leafpar(leaf_size, ptris_ref, t_ref, tri_ref, u_ref, v_ref,
+                       lq_ref, ox, oy, oz, dx, dy, dz, t_min, sps, lqns):
+    """ILP leaf drain: the production loop serializes the 8 triangles
+    through the running best-t (tri k+1's accept depends on k's update —
+    measured ~140 cyc/tri against ~58 ops of math). Here all 8 test against
+    the step-ENTRY best-t independently, then a 3-level min-tree picks the
+    winner (strict < keeps earliest-index tie-breaking — the same winner the
+    serial chain produces: minimal t, first k among equals)."""
+    from raytracer_tpu.ops.pallas_subpacket import _moller_rows
+
+    blks, valids, new_lqns = _pop_leaves(lq_ref, lqns)
+    rows8 = _read_leaf_rows(ptris_ref, blks)
+    rowmask = _rowmask_f(valids) > 0.0
+    bt0 = t_ref[0]
+    cands = []
+    for k in range(leaf_size):
+        t, u, v, valid, c = _moller_rows(
+            rows8, k, ox, oy, oz, dx, dy, dz, t_min, bt0
+        )
+        valid = valid & rowmask
+        tk = jnp.where(valid, t, BIG)
+        cands.append((tk, c(9), u, v))
+    # Min-tree (earlier candidate wins ties via strict <).
+    while len(cands) > 1:
+        nxt = []
+        for i in range(0, len(cands), 2):
+            a, b = cands[i], cands[i + 1]
+            tb = b[0] < a[0]
+            nxt.append(tuple(jnp.where(tb, bb, aa)
+                             for aa, bb in zip(a, b)))
+        cands = nxt
+    tw, triw, uw, vw = cands[0]
+    win = tw < bt0
+    t_ref[0] = jnp.where(win, tw, bt0)
+    tri_ref[0] = jnp.where(win, triw.astype(jnp.int32),
+                           tri_ref[0])
+    u_ref[0] = jnp.where(win, uw, u_ref[0])
+    v_ref[0] = jnp.where(win, vw, v_ref[0])
+    return sps, tuple(new_lqns)
+
+
 def _leaf_step_base(leaf_size, ptris_ref, t_ref, tri_ref, u_ref, v_ref,
                     lq_ref, ox, oy, oz, dx, dy, dz, t_min, sps, lqns):
     from raytracer_tpu.ops.pallas_subpacket import _moller_rows
@@ -127,8 +168,9 @@ def _leaf_step_base(leaf_size, ptris_ref, t_ref, tri_ref, u_ref, v_ref,
     return sps, tuple(new_lqns)
 
 
-def make_closest_kernel(leaf_size, descent, divfree):
-    leaf_fn = _leaf_step_divfree if divfree else _leaf_step_base
+def make_closest_kernel(leaf_size, descent, divfree, leafpar=False):
+    leaf_fn = (_leaf_step_leafpar if leafpar else
+               _leaf_step_divfree if divfree else _leaf_step_base)
 
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tmax_ref, root_ref, pmeta_ref, pnodes_ref, ptris_ref,
@@ -279,7 +321,8 @@ def make_closest_kernel(leaf_size, descent, divfree):
 
 
 def run_closest_variant(ox, oy, oz, dx, dy, dz, tmax, root, pmeta, pnodes,
-                        ptris, descent, divfree, interpret=False):
+                        ptris, descent, divfree, leafpar=False,
+                        interpret=False):
     n_tiles = ox.shape[0]
     leaf_size = ptris.shape[1] // TRI_STRIDE
     out_shape = [
@@ -289,7 +332,7 @@ def run_closest_variant(ox, oy, oz, dx, dy, dz, tmax, root, pmeta, pnodes,
         jax.ShapeDtypeStruct((n_tiles, ROWS, LANES), jnp.float32),
     ]
     return pl.pallas_call(
-        make_closest_kernel(leaf_size, descent, divfree),
+        make_closest_kernel(leaf_size, descent, divfree, leafpar),
         grid=(n_tiles,),
         in_specs=[_SP_SPEC] * 7 + [_SMEM1, _SMEM1, _FULL, _FULL],
         out_specs=[_SP_SPEC] * 4,
@@ -315,7 +358,7 @@ def measure(fn, *args):
     return out, (time.perf_counter() - t0) / REPS
 
 
-def cpu_check(descent, divfree):
+def cpu_check(descent, divfree, leafpar=False):
     import jax as _jax
     _jax.config.update("jax_platforms", "cpu")
     from raytracer_tpu.ops.traverse import intersect_bvh
@@ -345,7 +388,7 @@ def cpu_check(descent, divfree):
     comps.append(jnp.asarray(tm.reshape(nt, ROWS, LANES)))
     out = run_closest_variant(
         *comps, scene.qroot, scene.qmeta, scene.qnodes, scene.ptris,
-        descent, divfree, interpret=True,
+        descent, divfree, leafpar, interpret=True,
     )
     tri = np.asarray(out[1]).reshape(-1)[:r]
     tv = np.asarray(out[0]).reshape(-1)[:r]
@@ -354,7 +397,7 @@ def cpu_check(descent, divfree):
     mism_tri = int((np.asarray(ref.tri)[hits] != tri[hits]).sum())
     terr = (float(np.abs(np.asarray(ref.t)[hits] - tv[hits]).max())
             if hits.any() else 0)
-    print(f"cpu_check descent={descent} divfree={divfree}: "
+    print(f"cpu_check descent={descent} divfree={divfree} leafpar={leafpar}: "
           f"hit-mism {mism_hit}  tri-mism {mism_tri}  max|dt| {terr:.2e}",
           flush=True)
     return mism_hit == 0 and mism_tri == 0
@@ -416,16 +459,21 @@ def main():
     rays = prep(origin, direction, alive)
     float(jnp.sum(rays[0]))
 
-    combos = ([(False, False), (True, False), (False, True), (True, True)]
-              if "--all" in sys.argv else
-              [("--descent" in sys.argv, "--divfree" in sys.argv)])
-    for descent, divfree in combos:
+    if "--all" in sys.argv:
+        combos = [(False, False, False), (True, False, False),
+                  (False, True, False), (True, True, False)]
+    elif "--leafpar" in sys.argv:
+        combos = [(False, False, False), (False, False, True)]
+    else:
+        combos = [("--descent" in sys.argv, "--divfree" in sys.argv, False)]
+    for descent, divfree, leafpar in combos:
         fn = jax.jit(functools.partial(run_closest_variant, descent=descent,
-                                       divfree=divfree))
+                                       divfree=divfree, leafpar=leafpar))
         out, dt = measure(fn, *rays, ds.qroot, ds.qmeta, ds.qnodes, ds.ptris)
         tri = np.asarray(out[1]).reshape(-1)[:n]
         mism = int((tri != np.asarray(rec.tri)).sum())
-        print(f"descent={int(descent)} divfree={int(divfree)}:  "
+        print(f"descent={int(descent)} divfree={int(divfree)} "
+              f"leafpar={int(leafpar)}:  "
               f"{dt*1e3:8.1f} ms  ({dt_p/dt:.3f}x)  mism {mism}", flush=True)
 
 
@@ -435,5 +483,6 @@ if __name__ == "__main__":
         for de in (False, True):
             for df in (False, True):
                 ok &= cpu_check(de, df)
+        ok &= cpu_check(False, False, leafpar=True)
         sys.exit(0 if ok else 1)
     main()
