@@ -271,12 +271,11 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
         jnp.asarray(frame_number, jnp.uint32) ^ jnp.uint32(0x9E3779B9),
     )
 
-    # --- light-selection weights (power/dist², as the base integrator) ---
-    centers = scene.light_center[:l_used]
-    powers = scene.light_power[:l_used]
-    diff = gbuf.position[:, None, :] - centers[None, :, :]
-    dist_sq = jnp.sum(diff * diff, axis=-1)
-    weights = powers[None, :] / jnp.maximum(dist_sq, 0.001)
+    # --- light-selection weights (power/dist², as the base integrator;
+    # column form — see wavefront._light_weights_base) ---
+    from raytracer_tpu.integrator.wavefront import _light_weights_base
+
+    weights = _light_weights_base(scene, gbuf.position, cfg)
     weights = jnp.where(
         scene.light_object[None, :l_used] == gbuf.object[:, None], 0.0, weights
     )
