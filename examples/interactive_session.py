@@ -70,6 +70,23 @@ def main():
     for _ in range(4):
         frame()
 
+    # Warm each edit PATH once: the first edit of a kind compiles its small
+    # device-update program (~seconds through the tunnel, cached across
+    # sessions); a drag's steady-state tick is the interactive metric, so
+    # the timed round below measures the warm path.
+    r.set_camera(Camera.create(position=(0.0, 0.05, -2.9), aspect=w / h))
+    frame()
+    scene.update_object_position(
+        0, tuple(np.asarray(scene.objects[0].transform.position)))
+    frame()
+    m0 = scene.materials[0]
+    scene.update_material(0, dataclasses.replace(m0))
+    frame()
+    # Fresh stats for the timed session (the compile frame would otherwise
+    # dominate the table's ms/frame).
+    stats = RenderStats()
+    stats.set_scene_counts(scene)
+
     latencies = {}
 
     def edit(tag, fn, expect_reset=True):

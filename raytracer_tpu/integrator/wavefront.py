@@ -98,6 +98,24 @@ def _morton9(q):
     return q
 
 
+def _part_affinity(scene, origin, direction, num_bits):
+    """Which VMEM subtree part a ray ENTERS first (slab t_near vs the baked
+    part root AABBs, misses last). Used as a sort-key prefix so 256-ray
+    kernel groups become part-pure: in a foreign part's sequential pass the
+    whole group then dies at the root slab test instead of dragging its
+    union through deep traversal (the measured ~1.9x/ray multipart tax)."""
+    aabb = scene.part_aabb  # [P,6]
+    inv = 1.0 / jnp.where(jnp.abs(direction) < 1e-12,
+                          jnp.where(direction >= 0, 1e-12, -1e-12), direction)
+    t0 = (aabb[None, :, 0:3] - origin[:, None, :]) * inv[:, None, :]
+    t1 = (aabb[None, :, 3:6] - origin[:, None, :]) * inv[:, None, :]
+    tn = jnp.max(jnp.maximum(jnp.minimum(t0, t1), 0.0), axis=2)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=2)
+    tn = jnp.where(tn <= tf, tn, jnp.inf)  # [N,P]
+    return jnp.clip(jnp.argmin(tn, axis=1).astype(jnp.uint32), 0,
+                    (1 << num_bits) - 1)
+
+
 def _sort_wavefront(state: WavefrontState, scene) -> WavefrontState:
     """Sort lanes by (dead-last, direction octant, 27-bit position Morton).
 
@@ -128,7 +146,20 @@ def _sort_wavefront(state: WavefrontState, scene) -> WavefrontState:
         | ((state.direction[:, 2] >= 0).astype(jnp.uint32) << 2)
     )
     dead = (~state.alive).astype(jnp.uint32)
-    key = (dead << 31) | (octant << 27) | morton
+    p = getattr(scene, "num_parts", 1)
+    if p > 1 and getattr(scene, "part_aabb", None) is not None:
+        # Part-affinity prefix (below dead, above octant): part-pure kernel
+        # groups make foreign-part passes die at the root (sorting is a pure
+        # lane permutation — results are scattered back by pixel id, so this
+        # cannot change the image). Bit 30 is free; beyond 2 parts the
+        # morton tail is shortened to make room.
+        pb = max(1, min(3, (p - 1).bit_length()))
+        aff = _part_affinity(scene, state.origin, state.direction, pb)
+        shift = pb - 1
+        key = ((dead << 31) | (aff << (31 - pb))
+               | (octant << (27 - shift)) | (morton >> shift))
+    else:
+        key = (dead << 31) | (octant << 27) | morton
     perm = jnp.argsort(key)
 
     packed_f = jnp.concatenate(
@@ -267,7 +298,16 @@ def _occluded_pallas_sorted(scene, origin, direction, t_max, skip_object,
     morton = (
         _morton9(q[:, 0]) | (_morton9(q[:, 1]) << 1) | (_morton9(q[:, 2]) << 2)
     )
-    key = ((~active).astype(jnp.uint32) << 31) | morton
+    dead = (~active).astype(jnp.uint32)
+    p = getattr(scene, "num_parts", 1)
+    if p > 1 and getattr(scene, "part_aabb", None) is not None:
+        # Bits 27-30 are free in this key (no octant): the part-affinity
+        # prefix needs no morton shortening here.
+        pb = max(1, min(3, (p - 1).bit_length()))
+        aff = _part_affinity(scene, origin, direction, pb)
+        key = (dead << 31) | (aff << 27) | morton
+    else:
+        key = (dead << 31) | morton
     perm = jnp.argsort(key)
 
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))

@@ -57,7 +57,14 @@ from raytracer_tpu.ops.intersect import HitRecord
 from raytracer_tpu.ops.pallas_traverse import _inv_dir
 
 ROWS = 8
-LANES = 128
+# 256 rays (2 vregs) per row: a traversal iteration costs ~394 cyc of
+# serial pop/read/extract/route latency against ~70 cyc of VPU slab work,
+# so doubling the rays each iteration serves amortizes the serial cost
+# faster than the 256-ray visit-union grows. Measured on the bounce-1 bench
+# wavefront (tools/r3_lanes_lab.py): closest 686 -> 575 ms (1.19x),
+# occlusion 726 -> 614 ms (1.18x), hit-identical; 512 lanes is flat vs 256
+# on closest and starts changing razor-edge tie-breaks.
+LANES = 256
 TILE = ROWS * LANES
 CAP = 64      # per-row stack capacity; only internal nodes transit the stack
 LQ = 16       # per-row leaf-queue capacity (bounded by DRAIN_AT + 2 per step)
@@ -65,9 +72,9 @@ DRAIN_AT = 4  # drain leaves once any row has this many queued
 TRI_STRIDE = 12
 BIG = float(np.float32(3.0e38))
 
-# Tiles per pallas_call (same rays-per-group as the packet kernel's 512x4096;
+# Tiles per pallas_call (same rays-per-group as before the lane widening;
 # groups are lax.map-serialized to bound XLA's scoped-VMEM allocation).
-GROUP_TILES = 2048
+GROUP_TILES = 1024
 
 _FULL = pl.BlockSpec(memory_space=pltpu.VMEM)
 _SMEM1 = pl.BlockSpec(memory_space=pltpu.SMEM)
