@@ -181,3 +181,27 @@ def test_part_order_does_not_change_results(rng_np):
     occ_b = occlusion_bvh_subpacket(o, d, 1e-3, t_max, dsp, skip,
                                     interpret=True)
     np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))
+
+
+def test_full_render_multipart_matches_single(rng_np):
+    """End-to-end render equality: a forced multi-part bake (part-affinity
+    sorted wavefronts + near-to-far ordered passes) must produce the SAME
+    image as the single-part bake — sorting is a lane permutation and part
+    passes only tighten caps."""
+    import raytracer_tpu.api as api
+    from raytracer_tpu.api import ProgressiveRenderer
+    from raytracer_tpu.scene.model import create_cornell_box
+    from raytracer_tpu.utils.config import RenderConfig
+
+    cfg = RenderConfig(width=16, height=16, accel="pallas")
+    single = ProgressiveRenderer(create_cornell_box(), None, cfg).render(2)
+    old = api.PALLAS_VMEM_BUDGET
+    try:
+        api.PALLAS_VMEM_BUDGET = 96 * 1024
+        r = ProgressiveRenderer(create_cornell_box(), None, cfg)
+        assert r.device_scene.num_parts > 1
+        assert r.device_scene.part_aabb is not None
+        multi = r.render(2)
+    finally:
+        api.PALLAS_VMEM_BUDGET = old
+    np.testing.assert_allclose(multi, single, rtol=1e-6, atol=1e-6)
