@@ -75,6 +75,23 @@ def test_sharded_restir_matches_single(mesh):
     np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
 
 
+def test_sharded_restir_short_tile_warns(mesh, caplog):
+    """A tile shorter than one spatial halo drops cross-tile taps (the
+    documented bias case) — users must get a warning, not silent divergence."""
+    import logging
+
+    from raytracer_tpu.parallel.sharding import ShardedProgressiveRenderer
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    # 32x32 / 8 devices -> 128-px tiles; radius 4 needs (4+1)*32 = 160 > 128.
+    cfg = RenderConfig(width=32, height=32, use_restir=True,
+                       restir_spatial_radius=4.0, restir_spatial_neighbors=1,
+                       restir_initial_candidates=2)
+    with caplog.at_level(logging.WARNING, logger="raytracer_tpu.api"):
+        ShardedProgressiveRenderer(create_cornell_box(), None, cfg, mesh=mesh)
+    assert any("spatial halo" in m for m in caplog.messages)
+
+
 def test_sharded_restir_reservoir_stays_sharded(mesh):
     from raytracer_tpu.parallel.sharding import ShardedProgressiveRenderer
     from raytracer_tpu.scene.model import create_cornell_box

@@ -52,9 +52,9 @@ def main():
     ubo = {"inverse_view": jnp.asarray(mats["inverse_view"]),
            "inverse_proj": jnp.asarray(mats["inverse_proj"])}
 
-    combos = {8: (4, 2, 6, 8)}
+    combos = {8: (4, 2, 6, 8), 12: (4, 6), 16: (4, 6, 8)}
     ref_tri = None
-    for leaf_size in (8,):
+    for leaf_size in (8, 12, 16):
         cfg = RenderConfig(width=WIDTH, height=HEIGHT, max_depth=3,
                            accel="pallas", bvh_leaf_size=leaf_size)
         n = cfg.num_pixels
