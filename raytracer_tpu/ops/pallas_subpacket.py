@@ -70,6 +70,10 @@ CAP = 64      # per-row stack capacity; only internal nodes transit the stack
 LQ = 16       # per-row leaf-queue capacity (bounded by DRAIN_AT + 2 per step)
 DRAIN_AT = 4  # drain leaves once any row has this many queued
 TRI_STRIDE = 12
+# Mosaic VMEM ceiling for the traversal kernels. The packed arrays ride as
+# _FULL residents, so this bounds the single-part scene size; labs may raise
+# it toward the chip's 128 MB to probe beyond-budget bakes.
+VMEM_LIMIT_BYTES = 112 * 1024 * 1024
 BIG = float(np.float32(3.0e38))
 
 # Tiles per pallas_call (same rays-per-group as before the lane widening;
@@ -564,7 +568,7 @@ def _run_closest_group(ox, oy, oz, dx, dy, dz, tmax, root, pmeta, pnodes,
             pltpu.SMEM((ROWS * LQ,), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
         interpret=interpret,
     )(ox, oy, oz, dx, dy, dz, tmax, root, pmeta, pnodes, ptris)
@@ -593,7 +597,7 @@ def _run_occlusion_group(ox, oy, oz, dx, dy, dz, tmax, skip_obj, root, pmeta,
             pltpu.SMEM((ROWS * LQ,), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
         interpret=interpret,
     )(ox, oy, oz, dx, dy, dz, tmax, skip_obj, root, pmeta, pnodes, ptris)

@@ -206,10 +206,14 @@ class SceneOnDevice:
     @property
     def pallas_vmem_bytes(self) -> int:
         """VMEM footprint of the sub-packet kernel's scene arrays PER PASS
-        (rows pad their last dim to 128 lanes in VMEM; with parts, one part
-        is resident at a time). The 4-wide qnodes halve the node rows vs
-        the binary layout."""
-        return (self.qnodes.shape[-2] + self.ptris.shape[-2]) * 128 * 4
+        (rows pad their last dim UP to a multiple of 128 lanes in VMEM —
+        a 192-float leaf row at leaf_size 16 costs 256 lanes; with parts,
+        one part is resident at a time). The 4-wide qnodes halve the node
+        rows vs the binary layout."""
+        qn_lanes = -(-self.qnodes.shape[-1] // 128) * 128
+        pt_lanes = -(-self.ptris.shape[-1] // 128) * 128
+        return (self.qnodes.shape[-2] * qn_lanes
+                + self.ptris.shape[-2] * pt_lanes) * 4
 
 
 def _pad_rows(a: np.ndarray, total: int, fill=0.0) -> np.ndarray:
@@ -361,11 +365,13 @@ def _pack_pallas_arrays(bvh, v0, e1, e2, tri_object, leaf_size):
     return pnodes, ptris, root_meta, pmeta
 
 
-def _cut_parts(bvh, budget_bytes: int):
+def _cut_parts(bvh, budget_bytes: int, leaf_row_units: int = 1):
     """Cut the global tree into the shallowest set of subtrees whose packed
-    pallas arrays each fit `budget_bytes` (each pnodes/ptris row costs
-    128 lanes x 4 B = 512 B of VMEM). Returns [(i, j)] preorder node ranges
-    covering the whole tree, in preorder (= spatial DFS) order."""
+    pallas arrays each fit `budget_bytes` (a node row costs 128 lanes x 4 B
+    = 512 B of VMEM; a leaf-block row costs `leaf_row_units` x 512 B — its
+    leaf_size*TRI_STRIDE floats pad up to a multiple of 128 lanes). Returns
+    [(i, j)] preorder node ranges covering the whole tree, in preorder
+    (= spatial DFS) order."""
     is_leaf = bvh.nodes_count > 0
     leaf_psum = np.concatenate([[0], np.cumsum(is_leaf)])
     budget_rows = budget_bytes // 512
@@ -380,8 +386,8 @@ def _cut_parts(bvh, budget_bytes: int):
         # blocks. Quad count: absorbed nodes are exactly the internal
         # children of quad roots, and roots/absorbed alternate along parent
         # chains, so n4 <= 2*ni/3 + 1 (typical ~ni/2).
-        if (max(nb, 1) + (2 * max(ni, 1)) // 3 + 2 <= budget_rows
-                or is_leaf[i]):
+        if (max(nb, 1) * leaf_row_units + (2 * max(ni, 1)) // 3 + 2
+                <= budget_rows or is_leaf[i]):
             parts.append((i, j))
         else:
             left = i + 1
@@ -425,7 +431,8 @@ def _pack_pallas_parts(bvh, v0p, e1p, e2p, tri_object_p, leaf_size,
     the largest part and stacked with a leading [P] axis. Returns
     (pnodes, ptris, root_meta, pmeta, qnodes, qmeta, qroot, part_max_depth,
     q_stack_need)."""
-    parts = _cut_parts(bvh, budget_bytes)
+    leaf_row_units = -(-(leaf_size * 12) // 128)  # 512-B units per leaf row
+    parts = _cut_parts(bvh, budget_bytes, leaf_row_units)
     packs = []
     qpacks = []
     aabbs = []
@@ -438,7 +445,9 @@ def _pack_pallas_parts(bvh, v0p, e1p, e2p, tri_object_p, leaf_size,
             sb, v0p, e1p, e2p, tri_object_p, leaf_size
         ))
         qn, qm, qr, need = collapse_bvh4(sb)
-        assert (qn.shape[0] + packs[-1][1].shape[0]) * 512 <= budget_bytes, (
+        assert (qn.shape[0]
+                + packs[-1][1].shape[0] * leaf_row_units) * 512 \
+            <= budget_bytes, (
             "part exceeds the VMEM budget after collapse — the n4 bound in "
             "_cut_parts is violated"
         )
@@ -472,7 +481,7 @@ def _pack_pallas_parts(bvh, v0p, e1p, e2p, tri_object_p, leaf_size,
             max_depth, stack_need, part_aabb)
 
 
-def bake_scene(scene: Scene, leaf_size: int = 8,
+def bake_scene(scene: Scene, leaf_size: int = 16,
                device_put: bool = True,
                reuse_bvh: BVH = None,
                pallas_budget_bytes: int = None,
@@ -597,7 +606,8 @@ def bake_scene(scene: Scene, leaf_size: int = 8,
                 and pallas_budget_bytes >= (1 << 16)  # degenerate (~0)
                 # budgets fall back to the single-part bake (api then picks
                 # accel='bvh') instead of exploding into per-leaf parts
-                and (qnodes.shape[0] + ptris.shape[0]) * 512
+                and (qnodes.shape[0]
+                     + ptris.shape[0] * (-(-(leaf_size * 12) // 128))) * 512
                 > pallas_budget_bytes):
             (pnodes, ptris, root_meta, pmeta, qnodes, qmeta, qroot,
              part_max_depth, q_stack_need, part_aabb) = _pack_pallas_parts(

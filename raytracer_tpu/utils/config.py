@@ -77,7 +77,11 @@ class RenderConfig:
     #   "bvh"    — XLA gather-based lockstep walk (portable)
     #   "brute"  — O(T) oracle
     accel: str = "auto"
-    bvh_leaf_size: int = 8
+    # 16 tris/leaf: the latency-bound sub-packet kernel trades cheap extra
+    # VPU Moller-Trumbore work for ~35% fewer quad iterations — measured
+    # +4.9% end-to-end at 1080p/300k tris, image byte-identical
+    # (tools/r3_leaf16_frame_lab.py; sweep in tools/leafsweep_lab.py).
+    bvh_leaf_size: int = 16
 
     # ReSTIR DI (BASELINE config 5). Off = plain NEE/MIS per the reference's
     # simple.* pipeline.
