@@ -133,6 +133,7 @@ class ProgressiveRenderer:
         )
         self.frame = 0
         self._camera_ubo_dev = None
+        self._gbuffer = None  # denoiser G-buffer cache (camera/scene-keyed)
         self.reservoir = None
         if self.config.use_restir:
             from raytracer_tpu.integrator.restir import Reservoir
@@ -238,6 +239,8 @@ class ProgressiveRenderer:
         scene_changed = self._replay_changes()
         if scene_changed or self.camera.dirty:
             self.reset_accumulation()
+        if scene_changed:
+            self._gbuffer = None  # edits can move geometry / change albedo
         if self.camera.dirty or self._camera_ubo_dev is None:
             mats = self.camera.matrices()
             self._camera_ubo_dev = {
@@ -245,6 +248,7 @@ class ProgressiveRenderer:
                 "inverse_proj": jnp.asarray(mats["inverse_proj"]),
             }
             self.camera.clear_dirty()
+            self._gbuffer = None
 
     def reset_accumulation(self):
         self.accum = self._place_accum(
@@ -316,12 +320,37 @@ class ProgressiveRenderer:
                 break
         return self.image()
 
-    def image(self) -> np.ndarray:
+    def image(self, denoise: Optional[bool] = None) -> np.ndarray:
         """Accumulated linear radiance f32[H,W,3] on host (the reference's
-        blit-to-swapchain becomes a device->host transfer)."""
-        return np.asarray(self.accum).reshape(
-            self.config.height, self.config.width, 3
-        )
+        blit-to-swapchain becomes a device->host transfer).
+
+        `denoise` (default cfg.denoise_preview) runs the edge-aware
+        a-trous preview filter (integrator/denoise.py) on the way out;
+        the accumulation buffer itself is never modified."""
+        arr = np.asarray(self.accum)
+        use = self.config.denoise_preview if denoise is None else denoise
+        if use:
+            from raytracer_tpu.integrator.denoise import (
+                atrous_denoise, gbuffer_pass,
+            )
+
+            if self._camera_ubo_dev is None:
+                mats = self.camera.matrices()
+                self._camera_ubo_dev = {
+                    "inverse_view": jnp.asarray(mats["inverse_view"]),
+                    "inverse_proj": jnp.asarray(mats["inverse_proj"]),
+                }
+            if self._gbuffer is None:
+                self._gbuffer = gbuffer_pass(
+                    self.device_scene, self._camera_ubo_dev, self.config
+                )
+            nrm, depth, albedo = self._gbuffer
+            arr = np.asarray(atrous_denoise(
+                jnp.asarray(arr), nrm, depth, albedo,
+                self.config.height, self.config.width,
+                iterations=self.config.denoise_iterations,
+            ))
+        return arr.reshape(self.config.height, self.config.width, 3)
 
     # -- checkpoint / resume ---------------------------------------------
     def save_checkpoint(self, path: str):

@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                         " simple.rchit:10)")
     p.add_argument("--restir", action="store_true",
                    help="use ReSTIR DI for direct lighting")
+    p.add_argument("--denoise", action="store_true",
+                   help="edge-aware a-trous denoise of the output (and "
+                        "previews); accumulation itself is untouched")
     p.add_argument("--checkpoint", default=None,
                    help="save/resume accumulation state at this .npz path")
     p.add_argument("--preview", type=int, default=0, metavar="N",
@@ -81,6 +84,7 @@ def main(argv=None) -> int:
         enable_transmission=not args.no_transmission,
         use_light_sampling_only=args.light_sampling_only,
         use_restir=args.restir,
+        denoise_preview=args.denoise,
     )
     camera = Camera.create(
         position=tuple(args.camera),

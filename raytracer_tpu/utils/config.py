@@ -83,6 +83,12 @@ class RenderConfig:
     # (tools/r3_leaf16_frame_lab.py; sweep in tools/leafsweep_lab.py).
     bvh_leaf_size: int = 16
 
+    # Preview denoising (BEYOND-REFERENCE; integrator/denoise.py): apply an
+    # SVGF-style edge-aware a-trous filter at image()-time. Never touches
+    # the accumulation buffer — convergence/checkpoints are unaffected.
+    denoise_preview: bool = False
+    denoise_iterations: int = 4
+
     # ReSTIR DI (BASELINE config 5). Off = plain NEE/MIS per the reference's
     # simple.* pipeline.
     use_restir: bool = False
