@@ -147,6 +147,15 @@ def main():
         frame()
     print(stats.format_table(), flush=True)
 
+    # Denoised preview (integrator/denoise.py): the editor-facing readback.
+    # First call pays the G-buffer pass + filter compile; the warm call is
+    # the interactive cost.
+    r.image(denoise=True)
+    t0 = time.perf_counter()
+    r.image(denoise=True)
+    print(f"denoised preview readback (warm): "
+          f"{(time.perf_counter()-t0)*1e3:7.1f} ms", flush=True)
+
     interactive = {k: v for k, v in latencies.items() if k != "object_add"}
     worst = max(interactive.values())
     print(f"worst interactive edit latency: {worst*1e3:.1f} ms "
