@@ -28,7 +28,7 @@ REPS = 3
 SP_PATH = "/root/repo/raytracer_tpu/ops/pallas_subpacket.py"
 
 
-def load_patched(lanes):
+def load_patched(lanes, drain=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -40,6 +40,8 @@ def load_patched(lanes):
     m.GROUP_TILES = max(1, (2048 * 128) // lanes)
     m._SP_SPEC = pl.BlockSpec((1, m.ROWS, lanes), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
+    if drain is not None:
+        m.DRAIN_AT = drain
     return m
 
 
@@ -74,7 +76,7 @@ def main():
     scene = create_benchmark_atrium(300_000)
     cfg = RenderConfig(width=WIDTH, height=HEIGHT, max_depth=3,
                        accel="pallas")
-    ds, _ = bake_scene(scene, leaf_size=8)
+    ds, _ = bake_scene(scene, leaf_size=cfg.bvh_leaf_size)
     cam = Camera.create(position=(-16.0, 6.5, -7.5), aspect=WIDTH / HEIGHT,
                         target=(8.0, 3.0, 4.0))
     mats = cam.matrices()
@@ -89,8 +91,9 @@ def main():
                                 state1s.alive)
 
     ref_tri = None
-    for lanes in (128, 256, 512):
-        m = load_patched(lanes)
+    for lanes, drain in ((128, None), (256, None), (256, 6), (256, 8),
+                         (512, None), (512, 8)):
+        m = load_patched(lanes, drain)
         fn = jax.jit(lambda o, d, s, a, m=m: m.intersect_bvh_subpacket(
             o, d, s, 1e-3, 1e4, active_mask=a))
         rec, dt = measure(fn, origin, direction, ds, alive)
@@ -100,8 +103,8 @@ def main():
             mism = 0
         else:
             mism = int((tri != ref_tri).sum())
-        print(f"closest LANES={lanes}: {dt*1e3:8.1f} ms  mism {mism}",
-              flush=True)
+        print(f"closest LANES={lanes} drain={drain or 'def'}: "
+              f"{dt*1e3:8.1f} ms  mism {mism}", flush=True)
 
     # Occlusion pass (vertical-ish shadow-like rays, all active).
     l0 = ds.light_center[0]
@@ -116,8 +119,8 @@ def main():
         t_eff = jnp.where(a, t, cfg.t_min)
         return m.occlusion_bvh_subpacket(o, d, cfg.t_min, t_eff, ds, s)
 
-    for lanes in (128, 256, 512):
-        m = load_patched(lanes)
+    for lanes, drain in ((128, None), (256, None), (256, 8), (512, None)):
+        m = load_patched(lanes, drain)
         occ, dt = measure(jax.jit(functools.partial(_occl, m)),
                           hitpos, sdir, dist * 0.999, skip, alive)
         occ_np = np.asarray(occ)
@@ -126,8 +129,8 @@ def main():
             mism = 0
         else:
             mism = int((occ_np != ref_occ).sum())
-        print(f"occlusion LANES={lanes}: {dt*1e3:8.1f} ms  mism {mism}",
-              flush=True)
+        print(f"occlusion LANES={lanes} drain={drain or 'def'}: "
+              f"{dt*1e3:8.1f} ms  mism {mism}", flush=True)
 
 
 if __name__ == "__main__":
