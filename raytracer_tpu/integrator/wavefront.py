@@ -162,6 +162,10 @@ def _sort_wavefront(state: WavefrontState, scene) -> WavefrontState:
         key = (dead << 31) | (octant << 27) | morton
     perm = jnp.argsort(key)
 
+    # 16 f32 columns exactly: the gather fast path ends at width 16
+    # (tools/gather_lab.py; [N,17] vs [N,16]+[N,6] measured 1.14x in situ,
+    # tools/r3_sort16_lab.py), so the 17th f32 field rides in the integer
+    # gather as a bitcast.
     packed_f = jnp.concatenate(
         [
             state.origin,
@@ -170,7 +174,6 @@ def _sort_wavefront(state: WavefrontState, scene) -> WavefrontState:
             state.throughput,
             state.prev_hit_pos,
             state.prev_brdf_pdf[:, None],
-            state.p_sample_light[:, None],
         ],
         axis=1,
     )[perm]
@@ -187,6 +190,7 @@ def _sort_wavefront(state: WavefrontState, scene) -> WavefrontState:
             flags,
             state.channel.astype(jnp.uint32),
             state.pixel.astype(jnp.uint32),
+            jax.lax.bitcast_convert_type(state.p_sample_light, jnp.uint32),
         ],
         axis=1,
     )[perm]
@@ -197,7 +201,9 @@ def _sort_wavefront(state: WavefrontState, scene) -> WavefrontState:
         throughput=packed_f[:, 9:12],
         prev_hit_pos=packed_f[:, 12:15],
         prev_brdf_pdf=packed_f[:, 15],
-        p_sample_light=packed_f[:, 16],
+        p_sample_light=jax.lax.bitcast_convert_type(
+            packed_i[:, 5], jnp.float32
+        ),
         seed_rgen=packed_i[:, 0],
         seed=packed_i[:, 1],
         alive=(packed_i[:, 2] & 1) != 0,
