@@ -75,6 +75,27 @@ def test_sharded_restir_matches_single(mesh):
     np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
 
 
+def test_sharded_denoised_image_matches_single(mesh):
+    """image(denoise=True) under a mesh: the G-buffer pass runs on the
+    replicated scene and the filter on the gathered accumulation — the
+    result must equal the single-chip denoised image bit for bit."""
+    from raytracer_tpu.api import ProgressiveRenderer
+    from raytracer_tpu.parallel.sharding import ShardedProgressiveRenderer
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    cfg = RenderConfig(width=32, height=32)
+    single = ProgressiveRenderer(create_cornell_box(), None, cfg)
+    single.render(2)
+    sharded = ShardedProgressiveRenderer(
+        create_cornell_box(), None, cfg, mesh=mesh
+    )
+    sharded.render(2)
+    np.testing.assert_allclose(
+        sharded.image(denoise=True), single.image(denoise=True),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 def test_sharded_restir_short_tile_warns(mesh, caplog):
     """A tile shorter than one spatial halo drops cross-tile taps (the
     documented bias case) — users must get a warning, not silent divergence."""
