@@ -279,3 +279,58 @@ def test_light_sampling_only_mode():
     assert not np.allclose(base, lso)
     m1, m2 = base.mean(), lso.mean()
     assert abs(m1 - m2) / max(m1, 1e-6) < 0.2, (m1, m2)
+
+
+class _CapLogs:
+    """Minimal logging capture (pytest's caplog fixture can't wrap just the
+    constructor call without also swallowing bake-time INFO noise)."""
+
+    def __init__(self, name, level):
+        import logging
+
+        self.logger = logging.getLogger(name)
+        self.level = level
+        self.records = []
+
+        class _H(logging.Handler):
+            def emit(h, record):
+                self.records.append(record)
+
+        self._handler_cls = _H
+
+    def __enter__(self):
+        self.handler = self._handler_cls(self.level)
+        self.logger.addHandler(self.handler)
+        return self.records
+
+    def __exit__(self, *exc):
+        self.logger.removeHandler(self.handler)
+
+
+def test_custom_t_min_falls_back_from_pallas():
+    """ADVICE r2: accel='pallas' hard-codes the reference's traceRayEXT
+    t_min=1e-3 (asserted at trace time in ops/pallas_subpacket.py); a
+    custom t_min must fall back to accel='bvh' with a warning instead of
+    crashing mid-render, and the custom value must actually take effect."""
+    import logging
+
+    import numpy as np
+
+    from raytracer_tpu.api import ProgressiveRenderer
+    from raytracer_tpu.scene.model import create_cornell_box
+    from raytracer_tpu.utils.config import RenderConfig
+
+    cfg = RenderConfig(width=16, height=16, accel="pallas", t_min=5e-3)
+    with _CapLogs("raytracer_tpu.api", logging.WARNING) as records:
+        r = ProgressiveRenderer(create_cornell_box(), None, cfg)
+    assert r.config.accel == "bvh"
+    assert r.config.t_min == 5e-3
+    assert any("t_min" in rec.getMessage() for rec in records)
+    r.step()
+    assert np.isfinite(r.image()).all()
+
+    # The default t_min keeps the pallas path (interpret mode on CPU).
+    r2 = ProgressiveRenderer(
+        create_cornell_box(), None,
+        RenderConfig(width=16, height=16, accel="pallas"))
+    assert r2.config.accel == "pallas"
