@@ -45,6 +45,51 @@ def drain(x):
     return float(jnp.sum(x))
 
 
+class _CompileLogTap:
+    """Listen to jax._src.compiler's DEBUG records to learn, per jitted
+    program, whether the persistent compilation cache hit and how long an
+    actual XLA compile took. This is the only honest way to separate
+    "compile" from "upload + first-readback stall" inside warmup."""
+
+    def __init__(self):
+        import logging
+        import re
+
+        self.hits = set()
+        self.compile_s = {}
+        outer = self
+
+        class _H(logging.Handler):
+            def emit(self, record):
+                msg = record.getMessage()
+                m = re.search(
+                    r"[Cc]ompilation cache hit for '([^']+)'", msg)
+                if m:
+                    outer.hits.add(m.group(1))
+                m = re.search(
+                    r"'([^']+)' took at least .*? to compile "
+                    r"\(([0-9.]+)s\)", msg)
+                if m:
+                    outer.compile_s[m.group(1)] = float(m.group(2))
+
+        self._handler = _H(0)
+        self._logger = logging.getLogger("jax._src.compiler")
+        self._old_level = self._logger.level
+
+    @classmethod
+    def install(cls):
+        tap = cls()
+        import logging
+
+        tap._logger.setLevel(logging.DEBUG)
+        tap._logger.addHandler(tap._handler)
+        return tap
+
+    def remove(self):
+        self._logger.removeHandler(self._handler)
+        self._logger.setLevel(self._old_level)
+
+
 def timed_frames(step, ds, ubo, cfg, frames, label):
     """Per-frame timed loop with the 2x-median outlier guard applied to
     EVERY datapoint (round-1's corrupted headline came from silently
@@ -144,6 +189,32 @@ def atrium_1m_datapoint(step):
     }
 
 
+def preview_datapoint(step, ds, ubo):
+    """Interactive-preview rate on the HEADLINE scene: 512x288 is the
+    resolution examples/interactive_session.py edits against (the
+    reference's editor loop is its whole UX, ui.odin:491-501). The 1080p
+    camera ubo is reused (identical aspect ratio); only the pixel grid
+    shrinks, so this measures how frame time scales down to preview size."""
+    from raytracer_tpu.utils.config import RenderConfig
+
+    cfg = RenderConfig(width=512, height=288, max_depth=3, accel="pallas")
+    for f in range(2):
+        rad, _ = step(ds, ubo, jnp.uint32(f), cfg)
+        drain(rad)  # compile + warmup
+    frames = 10
+    rad, total, times = timed_frames(step, ds, ubo, cfg, frames,
+                                     "preview_512x288")
+    dt = sum(times)
+    return {
+        "resolution": "512x288",
+        "mrays_per_sec": round(total / dt / 1e6, 2),
+        "ms_per_frame": round(1e3 * dt / frames, 1),
+        "fps": round(frames / dt, 1),
+        "frame_times_s": [round(t, 3) for t in times],
+        "mean_radiance": float(np.asarray(rad).mean()),
+    }
+
+
 def restir_datapoint(ds, ubo):
     """1080p ReSTIR DI on the same atrium (BASELINE config 5): the reference
     ships restir.rgen scaffolding for a performance win
@@ -222,10 +293,17 @@ def main():
 
     cfg = RenderConfig(width=WIDTH, height=HEIGHT, max_depth=3,
                        accel="pallas")
+    # Establish the device session BEFORE timing bake: through the axon
+    # tunnel the first device contact of a process can cost ~10 s, which
+    # otherwise gets silently charged to whatever op runs first.
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(np.zeros(1, np.float32)))
+    session_init_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     ds, bvh = bake_scene(scene, leaf_size=cfg.bvh_leaf_size)
     bake_s = time.perf_counter() - t0
-    log(f"bake: {bake_s:.1f}s, {bvh.num_nodes} BVH nodes")
+    log(f"session init: {session_init_s:.1f}s; bake: {bake_s:.1f}s, "
+        f"{bvh.num_nodes} BVH nodes")
 
     cam = Camera.create(
         position=(-16.0, 6.5, -7.5), aspect=WIDTH / HEIGHT,
@@ -242,12 +320,29 @@ def main():
         rad, stats = render_wavefront(ds, ubo, frame, cfg, with_stats=True)
         return rad, stats["total_rays"]
 
+    # Warm-start decomposition: trace+lower is Python/StableHLO work that
+    # every process pays; the XLA+Mosaic compile is what the persistent
+    # cache (utils/compile_cache.py) eliminates — measured by tapping the
+    # compiler's own log during warmup (an explicit lower().compile() would
+    # use AOT compile options whose cache key differs from the jit dispatch
+    # path and spuriously miss). The warmup remainder is scene upload + the
+    # tunnel's first-readback stall.
+    t0 = time.perf_counter()
+    step.lower(ds, ubo, jnp.uint32(0), cfg)
+    lower_s = time.perf_counter() - t0
+    tap = _CompileLogTap.install()
     t0 = time.perf_counter()
     for f in range(WARMUP_FRAMES):
         rad, nrays = step(ds, ubo, jnp.uint32(f), cfg)
         drain(rad)
         log(f"warmup {f}: {time.perf_counter() - t0:.1f}s cumulative")
     compile_s = time.perf_counter() - t0
+    tap.remove()
+    cache_hit = "jit_step" in tap.hits
+    xla_compile_s = tap.compile_s.get("jit_step", 0.0)
+    log(f"trace+lower: {lower_s:.1f}s; jit_step persistent-cache "
+        f"{'HIT' if cache_hit else 'miss'}, xla compile "
+        f"{xla_compile_s:.1f}s")
 
     total_rays = 0
     frame_times = []
@@ -287,6 +382,9 @@ def main():
     restir = restir_datapoint(ds, ubo)
     if restir:
         log(json.dumps(restir))
+    preview = preview_datapoint(step, ds, ubo)
+    if preview:
+        log(json.dumps({"preview_512x288": preview}))
 
     import os as _os
 
@@ -309,11 +407,17 @@ def main():
             "ms_per_frame": round(1e3 * elapsed / BENCH_FRAMES, 1),
             "frame_times_s": [round(t, 2) for t in frame_times],
             "median_frame_s": round(float(np.median(ft)), 2),
+            "session_init_s": round(session_init_s, 2),
             "bake_s": round(bake_s, 2),
-            # compile_s covers the two warmup frames; with a warm persistent
-            # XLA cache (cache_warm=true: second+ bench run on this machine)
-            # it is deserialization + upload, not compilation.
-            "compile_s": round(compile_s, 2),
+            # Warm-start decomposition: xla_compile_s is the compile the
+            # persistent cache eliminates (~1 s warm vs ~25 s cold);
+            # trace_lower_s is per-process Python/StableHLO work; warmup_s
+            # (the 2 warmup frames) additionally pays jit re-trace, scene
+            # upload and the tunnel's first-readback stall.
+            "trace_lower_s": round(lower_s, 2),
+            "xla_compile_s": round(xla_compile_s, 2),
+            "persistent_cache_hit": cache_hit,
+            "warmup_s": round(compile_s, 2),
             "cache_warm": cache_warm,
             "mean_radiance": float(np.asarray(rad).mean()),
             "device": str(jax.devices()[0]),
