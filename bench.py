@@ -103,11 +103,12 @@ def timed_frames(step, ds, ubo, cfg, frames, label):
         times.append(time.perf_counter() - t0)
         total += int(nrays)
     ft = np.asarray(times)
-    if ft.max() > 2.0 * np.median(ft):
+    outlier = bool(ft.max() > 2.0 * np.median(ft))
+    if outlier:
         log(f"WARNING: {label}: frame-time outlier {ft.max():.2f}s vs "
             f"median {np.median(ft):.2f}s — times: "
             f"{[round(t, 2) for t in times]}")
-    return rad, total, times
+    return rad, total, times, outlier
 
 
 def conference_datapoint(step):
@@ -138,13 +139,17 @@ def conference_datapoint(step):
     rad, nrays = step(ds, ubo, jnp.uint32(1), cfg)
     drain(rad)
     frames = 5
-    rad, total, times = timed_frames(step, ds, ubo, cfg, frames, "conference")
+    rad, total, times, outlier = timed_frames(step, ds, ubo, cfg, frames,
+                                              "conference")
     dt = sum(times)
     return {
         "triangles": scene.num_triangles,
         "mrays_per_sec": round(total / dt / 1e6, 2),
         "ms_per_frame": round(1e3 * dt / frames, 1),
         "frame_times_s": [round(t, 2) for t in times],
+        # A 2x-median straggler frame is recorded, not silently averaged:
+        # consumers must treat flagged datapoints as suspect.
+        "outlier_frames": outlier,
         "mean_radiance": float(np.asarray(rad).mean()),
     }
 
@@ -176,8 +181,8 @@ def atrium_1m_datapoint(step):
         rad, nrays = step(ds, ubo, jnp.uint32(f), cfg)
         drain(rad)
     frames = 5
-    rad, total, times = timed_frames(step, ds, ubo, cfg, frames,
-                                     "atrium_1m_multipart")
+    rad, total, times, outlier = timed_frames(step, ds, ubo, cfg, frames,
+                                              "atrium_1m_multipart")
     dt = sum(times)
     return {
         "triangles": scene.num_triangles,
@@ -185,6 +190,7 @@ def atrium_1m_datapoint(step):
         "mrays_per_sec": round(total / dt / 1e6, 2),
         "ms_per_frame": round(1e3 * dt / frames, 1),
         "frame_times_s": [round(t, 2) for t in times],
+        "outlier_frames": outlier,
         "mean_radiance": float(np.asarray(rad).mean()),
     }
 
@@ -202,8 +208,8 @@ def preview_datapoint(step, ds, ubo):
         rad, _ = step(ds, ubo, jnp.uint32(f), cfg)
         drain(rad)  # compile + warmup
     frames = 10
-    rad, total, times = timed_frames(step, ds, ubo, cfg, frames,
-                                     "preview_512x288")
+    rad, total, times, outlier = timed_frames(step, ds, ubo, cfg, frames,
+                                              "preview_512x288")
     dt = sum(times)
     return {
         "resolution": "512x288",
@@ -211,6 +217,7 @@ def preview_datapoint(step, ds, ubo):
         "ms_per_frame": round(1e3 * dt / frames, 1),
         "fps": round(frames / dt, 1),
         "frame_times_s": [round(t, 3) for t in times],
+        "outlier_frames": outlier,
         "mean_radiance": float(np.asarray(rad).mean()),
     }
 
@@ -259,7 +266,8 @@ def restir_datapoint(ds, ubo):
             times.append(time.perf_counter() - t0)
             total += int(nrays)
         ft = np.asarray(times)
-        if ft.max() > 2.0 * np.median(ft):
+        outlier = bool(ft.max() > 2.0 * np.median(ft))
+        if outlier:
             log(f"WARNING: restir(iv={iv}) outlier {ft.max():.2f}s vs "
                 f"median {np.median(ft):.2f}s")
         key = "restir" if iv else "restir_no_initial_visibility"
@@ -268,6 +276,7 @@ def restir_datapoint(ds, ubo):
             "ms_per_frame": round(1e3 * sum(times) / frames, 1),
             "rays_per_frame": total // frames,
             "frame_times_s": [round(t, 2) for t in times],
+            "outlier_frames": outlier,
             "mean_radiance": float(np.asarray(accum).mean()),
         }
     return out
@@ -358,7 +367,8 @@ def main():
     # Sanity-check variance: a straggler frame (tunnel stall, deferred
     # recompile) must be visible in the record, not silently averaged in.
     ft = np.asarray(frame_times)
-    if ft.max() > 2.0 * np.median(ft):
+    headline_outlier = bool(ft.max() > 2.0 * np.median(ft))
+    if headline_outlier:
         log(f"WARNING: frame-time outlier {ft.max():.1f}s vs median "
             f"{np.median(ft):.1f}s — inspect per-frame times below")
 
@@ -407,6 +417,7 @@ def main():
             "ms_per_frame": round(1e3 * elapsed / BENCH_FRAMES, 1),
             "frame_times_s": [round(t, 2) for t in frame_times],
             "median_frame_s": round(float(np.median(ft)), 2),
+            "outlier_frames": headline_outlier,
             "session_init_s": round(session_init_s, 2),
             "bake_s": round(bake_s, 2),
             # Warm-start decomposition: xla_compile_s is the compile the

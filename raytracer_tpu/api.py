@@ -327,9 +327,10 @@ class ProgressiveRenderer:
         `denoise` (default cfg.denoise_preview) runs the edge-aware
         a-trous preview filter (integrator/denoise.py) on the way out;
         the accumulation buffer itself is never modified."""
-        arr = np.asarray(self.accum)
         use = self.config.denoise_preview if denoise is None else denoise
-        if use:
+        if not use:
+            arr = np.asarray(self.accum)
+        else:
             from raytracer_tpu.integrator.denoise import (
                 atrous_denoise, gbuffer_pass,
             )
@@ -345,8 +346,12 @@ class ProgressiveRenderer:
                     self.device_scene, self._camera_ubo_dev, self.config
                 )
             nrm, depth, albedo = self._gbuffer
+            # Feed the device-resident accumulation straight into the
+            # filter: only the filtered result crosses to host (a raw
+            # readback + re-upload would cost an extra full-image round
+            # trip per preview frame).
             arr = np.asarray(atrous_denoise(
-                jnp.asarray(arr), nrm, depth, albedo,
+                jnp.asarray(self.accum), nrm, depth, albedo,
                 self.config.height, self.config.width,
                 iterations=self.config.denoise_iterations,
             ))

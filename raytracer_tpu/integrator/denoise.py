@@ -96,7 +96,12 @@ def atrous_denoise(img, normal, depth, albedo, height, width,
     alb = albedo.reshape(height, width, 3)
 
     miss = z >= MISS_DEPTH  # [H,W,1]
-    s = img / jnp.maximum(alb, 1e-3)  # demodulate
+    # Demodulate and remodulate with the SAME clamped albedo: a raw-albedo
+    # remodulation would multiply any channel with albedo < 1e-3 by
+    # alb/1e-3 ~ 0 and erase highlights/emission on black or fully
+    # saturated materials instead of filtering them.
+    alb = jnp.maximum(alb, 1e-3)
+    s = img / alb  # demodulate
 
     for it in range(iterations):
         step = 1 << it

@@ -392,7 +392,7 @@ def _sample_light(scene, sel, hit_pos, seed, active, cfg: RenderConfig):
         num_tris - 1,
     )
     ti = jnp.clip(first + tri_local, 0, scene.light_tri_packed.shape[0] - 1)
-    trow = scene.light_tri_packed[ti]  # [N,12] — gather 2
+    trow = scene.light_tri_packed[ti]  # [N,16] — gather 2
     v0 = trow[:, 0:3]
     e1 = trow[:, 3:6]
     e2 = trow[:, 6:9]

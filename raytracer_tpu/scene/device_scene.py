@@ -143,8 +143,10 @@ class SceneOnDevice:
     # one wide one (same trick as tri_shade/mat_packed).
     # light_meta_packed f32[L,8]: first_tri_f, num_tris_f, emission rgb,
     #   object_f, power, pad (ints exact as f32, < 2^24).
-    # light_tri_packed f32[LT,12]: v0(3) e1(3) e2(3) object_f light_index_f
-    #   light_num_tris_f — original pre-BVH triangle order like light_tri_*.
+    # light_tri_packed f32[LT,16]: v0(3) e1(3) e2(3) object_f light_index_f
+    #   light_num_tris_f, owning light's emission rgb (cols 12:15, kept
+    #   fresh by update_materials), pad — original pre-BVH triangle order
+    #   like light_tri_*.
     light_meta_packed: jax.Array
     light_tri_packed: jax.Array
 

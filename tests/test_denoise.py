@@ -102,3 +102,25 @@ def test_cli_denoise_flag(tmp_path):
         "--height", "16", "--spp", "2", "--denoise", "--out", str(out),
     ])
     assert rc == 0 and out.exists()
+
+
+def test_black_albedo_channels_survive():
+    """Demodulation and remodulation must use the SAME clamped albedo: a
+    specular highlight or emission on a material whose albedo is 0 in some
+    channel (e.g. pure-red metal, black glossy) must be filtered, not
+    erased (raw-albedo remodulation multiplied those channels by ~0)."""
+    from raytracer_tpu.integrator.denoise import atrous_denoise
+
+    h = w = 8
+    n = h * w
+    img = np.full((n, 3), 2.0, np.float32)  # flat radiance, all channels
+    nrm = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (n, 1))
+    depth = np.ones((n,), np.float32)
+    albedo = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (n, 1))
+    out = np.asarray(atrous_denoise(
+        jnp.asarray(img), jnp.asarray(nrm), jnp.asarray(depth),
+        jnp.asarray(albedo), h, w, iterations=2,
+    ))
+    # A flat image must pass through the edge-aware filter unchanged in
+    # EVERY channel, whatever the albedo.
+    np.testing.assert_allclose(out, 2.0, rtol=1e-4)
