@@ -112,8 +112,14 @@ def _part_affinity(scene, origin, direction, num_bits):
     tn = jnp.max(jnp.maximum(jnp.minimum(t0, t1), 0.0), axis=2)
     tf = jnp.min(jnp.maximum(t0, t1), axis=2)
     tn = jnp.where(tn <= tf, tn, jnp.inf)  # [N,P]
-    return jnp.clip(jnp.argmin(tn, axis=1).astype(jnp.uint32), 0,
+    best = jnp.clip(jnp.argmin(tn, axis=1).astype(jnp.uint32), 0,
                     (1 << num_bits) - 1)
+    # Rays that miss EVERY part get the top bucket (argmin of an all-inf
+    # row is 0, which would dilute part-0 groups with lanes that die at
+    # every root slab); when parts overflow the bit budget the top bucket
+    # is shared by the last parts and misses — still sorted, just coarser.
+    miss_all = jnp.isinf(jnp.min(tn, axis=1))
+    return jnp.where(miss_all, jnp.uint32((1 << num_bits) - 1), best)
 
 
 def _sort_wavefront(state: WavefrontState, scene) -> WavefrontState:
@@ -152,8 +158,9 @@ def _sort_wavefront(state: WavefrontState, scene) -> WavefrontState:
         # groups make foreign-part passes die at the root (sorting is a pure
         # lane permutation — results are scattered back by pixel id, so this
         # cannot change the image). Bit 30 is free; beyond 2 parts the
-        # morton tail is shortened to make room.
-        pb = max(1, min(3, (p - 1).bit_length()))
+        # morton tail is shortened to make room. p.bit_length() (not p-1)
+        # reserves one extra bucket for rays that miss every part.
+        pb = max(1, min(3, p.bit_length()))
         aff = _part_affinity(scene, state.origin, state.direction, pb)
         shift = pb - 1
         key = ((dead << 31) | (aff << (31 - pb))
@@ -308,8 +315,9 @@ def _occluded_pallas_sorted(scene, origin, direction, t_max, skip_object,
     p = getattr(scene, "num_parts", 1)
     if p > 1 and getattr(scene, "part_aabb", None) is not None:
         # Bits 27-30 are free in this key (no octant): the part-affinity
-        # prefix needs no morton shortening here.
-        pb = max(1, min(3, (p - 1).bit_length()))
+        # prefix needs no morton shortening here, and there is room for the
+        # all-miss bucket up to 15 parts.
+        pb = max(1, min(4, p.bit_length()))
         aff = _part_affinity(scene, origin, direction, pb)
         key = (dead << 31) | (aff << 27) | morton
     else:
