@@ -205,3 +205,32 @@ def test_full_render_multipart_matches_single(rng_np):
     finally:
         api.PALLAS_VMEM_BUDGET = old
     np.testing.assert_allclose(multi, single, rtol=1e-6, atol=1e-6)
+
+
+def test_part_affinity_miss_bucket():
+    """Rays that miss every part AABB must land in the TOP affinity bucket
+    (they die at every root slab; binning them with part 0 — argmin of an
+    all-inf row — diluted part-0 kernel groups), and entering rays must get
+    the part they enter first."""
+    from raytracer_tpu.integrator.wavefront import _part_affinity
+    from raytracer_tpu.scene.device_scene import bake_scene
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    dsp, _ = bake_scene(create_cornell_box(),
+                        pallas_budget_bytes=96 * 1024)
+    assert dsp.num_parts > 1
+    nb = max(1, min(3, int(dsp.num_parts).bit_length()))
+
+    # Rays starting far outside, pointing AWAY from the scene: miss all.
+    n = 8
+    o = jnp.tile(jnp.asarray([[50.0, 50.0, 50.0]], jnp.float32), (n, 1))
+    d = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (n, 1))
+    aff = np.asarray(_part_affinity(dsp, o, d, nb))
+    assert (aff == (1 << nb) - 1).all(), aff
+
+    # A ray inside the box hits SOME part, and never the miss bucket when
+    # the bucket count exceeds the part count.
+    o2 = jnp.zeros((n, 3), jnp.float32)
+    aff2 = np.asarray(_part_affinity(dsp, o2, d, nb))
+    if (1 << nb) - 1 >= dsp.num_parts:
+        assert (aff2 < dsp.num_parts).all(), aff2
