@@ -1,12 +1,11 @@
-"""Tree quality: widest-axis binned SAH (production) vs 3-axis sweep.
+"""Tree quality end-to-end: 3-axis binned SAH (now production) vs the
+legacy widest-axis split.
 
 Traversal cost is iteration-count x ~394 cyc serial latency, so tree
-quality is the one lever that bypasses the latency floor. Both builders
-(accel/bvh.py + native/bvh_builder.cpp) bin on the WIDEST centroid axis
-only; the standard upgrade evaluates all 3 axes and takes the global
-min-cost split. Measure the headline frame end-to-end with each tree
-(numpy builder for both, native disabled, so the only variable is the
-split policy); also try 32 bins on the best axis policy.
+quality is the one lever that bypasses the latency floor. The CPU proxy
+(tools/r3_sah_cpu_proxy.py) measured the 3-axis/32-bin tree at ~24% fewer
+per-ray quad visits (primary 19.4 -> 14.8, bounce 15.0 -> 11.3); this lab
+measures the headline frame end-to-end on the TPU with each tree.
 
 Images may differ at razor ties (closest-hit ties broken by traversal
 order) — report the pixel delta alongside the timing.
@@ -28,63 +27,54 @@ WIDTH, HEIGHT = 1920, 1080
 FRAMES = 5
 
 
-def _sah_split_3axis(lo, hi, centroids, idx, n_bins):
-    """3-axis binned SAH: same contract as accel.bvh._sah_split."""
+def _sah_split_widest(lo, hi, centroids, idx, n_bins=16):
+    """The legacy split: bin on the widest centroid axis only."""
     c = centroids[idx]
     cmin = c.min(axis=0)
     cmax = c.max(axis=0)
     extent = cmax - cmin
+    axis = int(np.argmax(extent))
+    if extent[axis] <= 1e-12:
+        half = len(idx) // 2
+        return idx[:half], idx[half:]
+
+    scale = n_bins * (1.0 - 1e-6) / extent[axis]
+    bins = ((c[:, axis] - cmin[axis]) * scale).astype(np.int32)
+    bins = np.clip(bins, 0, n_bins - 1)
+
+    counts = np.bincount(bins, minlength=n_bins)
+    bin_min = np.full((n_bins, 3), np.inf, np.float32)
+    bin_max = np.full((n_bins, 3), -np.inf, np.float32)
+    np.minimum.at(bin_min, bins, lo[idx])
+    np.maximum.at(bin_max, bins, hi[idx])
 
     def area(mn, mx):
         d = np.maximum(mx - mn, 0.0)
         return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
                       + d[..., 2] * d[..., 0])
 
-    best = (np.inf, None, None)  # cost, axis, k
-    bins_by_axis = {}
-    for axis in range(3):
-        if extent[axis] <= 1e-12:
-            continue
-        scale = n_bins * (1.0 - 1e-6) / extent[axis]
-        bins = ((c[:, axis] - cmin[axis]) * scale).astype(np.int32)
-        bins = np.clip(bins, 0, n_bins - 1)
-        bins_by_axis[axis] = bins
-        counts = np.bincount(bins, minlength=n_bins)
-        bin_min = np.full((n_bins, 3), np.inf, np.float32)
-        bin_max = np.full((n_bins, 3), -np.inf, np.float32)
-        for b in range(n_bins):
-            sel = bins == b
-            if counts[b]:
-                bin_min[b] = lo[idx[sel]].min(axis=0)
-                bin_max[b] = hi[idx[sel]].max(axis=0)
-        lmin = np.minimum.accumulate(bin_min, axis=0)
-        lmax = np.maximum.accumulate(bin_max, axis=0)
-        rmin = np.minimum.accumulate(bin_min[::-1], axis=0)[::-1]
-        rmax = np.maximum.accumulate(bin_max[::-1], axis=0)[::-1]
-        lcount = np.cumsum(counts)
-        rcount = np.cumsum(counts[::-1])[::-1]
-        for k in range(n_bins - 1):
-            nl, nr = lcount[k], rcount[k + 1]
-            if nl == 0 or nr == 0:
-                continue
-            cost = (area(lmin[k], lmax[k]) * nl
-                    + area(rmin[k + 1], rmax[k + 1]) * nr)
-            if cost < best[0]:
-                best = (cost, axis, k)
+    lmin = np.minimum.accumulate(bin_min, axis=0)
+    lmax = np.maximum.accumulate(bin_max, axis=0)
+    rmin = np.minimum.accumulate(bin_min[::-1], axis=0)[::-1]
+    rmax = np.maximum.accumulate(bin_max[::-1], axis=0)[::-1]
+    lcount = np.cumsum(counts)
+    rcount = np.cumsum(counts[::-1])[::-1]
 
-    if best[1] is None:
-        axis = int(np.argmax(extent))
+    nl = lcount[:-1]
+    nr = rcount[1:]
+    costs = np.where(
+        (nl > 0) & (nr > 0),
+        area(lmin[:-1], lmax[:-1]) * nl + area(rmin[1:], rmax[1:]) * nr,
+        np.inf,
+    )
+    k = int(np.argmin(costs))
+    if not np.isfinite(costs[k]):
         order = np.argsort(c[:, axis], kind="stable")
         half = len(idx) // 2
         return idx[order[:half]], idx[order[half:]]
-    _, axis, k = best
-    left_sel = bins_by_axis[axis] <= k
-    right = idx[~left_sel]
-    left = idx[left_sel]
-    if len(left) == 0 or len(right) == 0:  # paranoia; cannot happen
-        half = len(idx) // 2
-        return idx[:half], idx[half:]
-    return left, right
+
+    left_sel = bins <= k
+    return idx[left_sel], idx[~left_sel]
 
 
 def main():
@@ -137,22 +127,16 @@ def main():
         return np.asarray(rad)
 
     try:
-        ref = run("native widest-16 (production)")
+        ref = run("native 3-axis-32 (production)")
         native_builder.available = lambda: False
-        img = run("numpy  widest-16")
-        d = np.abs(img - ref)
-        print(f"   numpy-vs-native delta: max {d.max():.2e}", flush=True)
-        bvh_mod._sah_split = lambda lo, hi, c, i: _sah_split_3axis(
-            lo, hi, c, i, 16)
-        img = run("numpy  3-axis-16")
-        d = np.abs(img - ref)
-        print(f"   3ax16 delta: max {d.max():.2e} "
-              f"({(d.max(axis=-1) > 1e-4).sum()} px)", flush=True)
-        bvh_mod._sah_split = lambda lo, hi, c, i: _sah_split_3axis(
-            lo, hi, c, i, 32)
         img = run("numpy  3-axis-32")
         d = np.abs(img - ref)
-        print(f"   3ax32 delta: max {d.max():.2e} "
+        print(f"   numpy-vs-native delta: max {d.max():.2e} "
+              f"({(d.max(axis=-1) > 1e-4).sum()} px)", flush=True)
+        bvh_mod._sah_split = _sah_split_widest
+        img = run("numpy  widest-16 (legacy)")
+        d = np.abs(img - ref)
+        print(f"   widest-16 delta: max {d.max():.2e} "
               f"({(d.max(axis=-1) > 1e-4).sum()} px)", flush=True)
     finally:
         bvh_mod._sah_split = orig_split
