@@ -21,7 +21,7 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-from tools.r3_sah_axes_lab import _sah_split_3axis  # noqa: E402
+from tools.r3_sah_axes_lab import _sah_split_widest  # noqa: E402
 
 N_PRIMARY = 4096
 N_BOUNCE = 4096
@@ -177,10 +177,11 @@ def main():
     org0 = np.broadcast_to(ivm[:3, 3], dirs0.shape).astype(np.float32)
     dirs0 = dirs0.astype(np.float32)
 
+    # Production _sah_split is now the 3-axis/32-bin sweep (bvh.py); the
+    # legacy widest-axis split lives in r3_sah_axes_lab for comparison.
     variants = [
-        ("widest-16", None, 16),
-        ("3-axis-16", lambda lo, hi, c, i: _sah_split_3axis(lo, hi, c, i, 16), 16),
-        ("3-axis-32", lambda lo, hi, c, i: _sah_split_3axis(lo, hi, c, i, 32), 32),
+        ("widest-16", lambda lo, hi, c, i: _sah_split_widest(lo, hi, c, i, 16), 16),
+        ("3-axis-32 (production)", None, 32),
     ]
 
     orig = bvh_mod._sah_split
