@@ -12,10 +12,12 @@ preview readback):
   - transform drag     -> BVH refit (TLAS UPDATE parity) + re-upload
   - material repaint   -> material-table fast path
   - light dim/brighten -> material fast path incl. packed light tables
-  - object add         -> full re-bake (the reference also rebuilds its AS;
-                          reported, not latency-gated: a topology change
-                          re-jits, the XLA analog of pipeline recompile —
-                          warm-started by the persistent compile cache)
+  - object add         -> full re-bake into capacity-padded tables
+                          (stable_bake, the default): identical jit
+                          signature, so the edit costs bake+upload, not an
+                          XLA re-compile — now latency-gated like the rest
+                          (the reference also rebuilds its AS on add,
+                          gpu_scene.odin:430-455)
 
 Pass --assert-interactive to enforce the <1 s per-edit gate (used on TPU;
 the gate is meaningless under CPU interpret mode).
@@ -133,9 +135,11 @@ def main():
             li, dataclasses.replace(m, emission_power=m.emission_power * 2))
     edit("light_brighten", brighten)
 
-    # 5. object add (topology change: full re-bake + re-jit; not gated)
+    # 5. object add — under stable_bake (capacity-padded tables, the
+    # default) the re-bake lands in the SAME jit signature, so this is
+    # bake+upload, not an XLA re-compile, and joins the 1 s gate.
     def add_obj():
-        mesh_idx = scene.add_mesh(create_sphere(8, 8))
+        mesh_idx = scene.add_mesh(create_sphere(6, 6))
         mat = scene.add_material(Material(albedo=(0.2, 0.4, 0.9)))
         scene.add_object("added_sphere", mesh_idx, mat,
                          position=(0.0, -0.3, 0.2),
@@ -156,15 +160,14 @@ def main():
     print(f"denoised preview readback (warm): "
           f"{(time.perf_counter()-t0)*1e3:7.1f} ms", flush=True)
 
-    interactive = {k: v for k, v in latencies.items() if k != "object_add"}
-    worst = max(interactive.values())
-    print(f"worst interactive edit latency: {worst*1e3:.1f} ms "
+    worst = max(latencies.values())
+    print(f"worst edit latency (object_add included): {worst*1e3:.1f} ms "
           f"(object_add: {latencies['object_add']*1e3:.1f} ms)", flush=True)
     if gate:
         assert worst < 1.0, (
-            f"interactive edit latency {worst:.2f}s breaches the 1 s gate"
+            f"edit latency {worst:.2f}s breaches the 1 s gate"
         )
-        print("PASS: all interactive edits under 1 s", flush=True)
+        print("PASS: all edits (incl. object add) under 1 s", flush=True)
 
 
 if __name__ == "__main__":

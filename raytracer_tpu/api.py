@@ -90,9 +90,7 @@ class ProgressiveRenderer:
             aspect=self.config.width / self.config.height,
         )
         self.device_scene, self._host_bvh = bake_scene(
-            scene, leaf_size=self.config.bvh_leaf_size,
-            pallas_budget_bytes=self._pallas_budget(),
-            pack_pallas=self.config.accel == "pallas",
+            scene, **self._bake_kwargs()
         )
         if self.config.accel == "pallas":
             from raytracer_tpu.ops.pallas_subpacket import stack_need_fits
@@ -189,6 +187,17 @@ class ProgressiveRenderer:
         return (PALLAS_VMEM_BUDGET if self.config.accel == "pallas"
                 else None)
 
+    def _bake_kwargs(self):
+        """One bake parameterization for init / journal replay / material
+        fallback, so every re-bake of this renderer produces the same array
+        shapes (stable_bake keeps topology edits inside one jit signature)."""
+        return dict(
+            leaf_size=self.config.bvh_leaf_size,
+            pallas_budget_bytes=self._pallas_budget(),
+            pack_pallas=self.config.accel == "pallas",
+            stable_shapes=self.config.stable_bake,
+        )
+
     # -- scene/camera plumbing ------------------------------------------
     def set_camera(self, camera: Camera):
         self.camera = camera
@@ -203,10 +212,7 @@ class ProgressiveRenderer:
         types = {c.type for c in changes}
         if types == {SceneChangeType.MATERIAL_CHANGED}:
             self.device_scene = update_materials(
-                self.device_scene, self.scene,
-                leaf_size=self.config.bvh_leaf_size,
-                pallas_budget_bytes=self._pallas_budget(),
-                pack_pallas=self.config.accel == "pallas",
+                self.device_scene, self.scene, **self._bake_kwargs()
             )
         elif types <= {
             SceneChangeType.OBJECT_TRANSFORM_CHANGED,
@@ -216,18 +222,16 @@ class ProgressiveRenderer:
             # tree topology (TLAS UPDATE mode, gpu_scene.odin:457-482)
             # instead of a full SAH rebuild.
             self.device_scene, self._host_bvh = bake_scene(
-                self.scene, leaf_size=self.config.bvh_leaf_size,
-                reuse_bvh=self._host_bvh,
-                pallas_budget_bytes=self._pallas_budget(),
-                pack_pallas=self.config.accel == "pallas",
+                self.scene, reuse_bvh=self._host_bvh, **self._bake_kwargs()
             )
         else:
-            # Topology changed: full re-bake (the reference's add/remove
-            # path also recompiles, gpu_scene.odin:430-455).
+            # Topology changed: full re-bake into the SAME array shapes
+            # whenever the new counts stay inside the capacity buckets
+            # (stable_bake) — the step() jit then cache-hits, so the
+            # reference's add/remove editor path (gpu_scene.odin:430-455)
+            # costs bake+upload, not an XLA re-compile.
             self.device_scene, self._host_bvh = bake_scene(
-                self.scene, leaf_size=self.config.bvh_leaf_size,
-                pallas_budget_bytes=self._pallas_budget(),
-                pack_pallas=self.config.accel == "pallas",
+                self.scene, **self._bake_kwargs()
             )
         if self.mesh is not None:
             from raytracer_tpu.parallel.sharding import replicate

@@ -28,6 +28,7 @@ pixel tiles are what gets sharded (parallel/sharding.py).
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Tuple
 
 import jax
@@ -195,6 +196,14 @@ class SceneOnDevice:
     # wavefront centroid so the folded best-t/occlusion cap actually prunes
     # later parts (ordering cannot change results — it only tightens caps).
     part_aabb: jax.Array = None
+    # Stable-shape (capacity-padded) bakes only: i32[4] device scalar array
+    # [true_tris, true_lights, true_objects, true_refs]. Under
+    # `bake_scene(stable_shapes=True)` every table is padded to a geometric
+    # capacity bucket and the static counts above hold TABLE sizes, so small
+    # topology edits (the reference's add/remove-object editor path,
+    # ui.odin:350-484) re-bake into the SAME jit signature — no re-trace,
+    # no re-compile. Host code needing exact counts reads this leaf.
+    true_counts: jax.Array = None
 
     @property
     def num_nodes(self) -> int:
@@ -223,6 +232,16 @@ def _pad_rows(a: np.ndarray, total: int, fill=0.0) -> np.ndarray:
         return a
     pad_shape = (total - len(a),) + a.shape[1:]
     return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
+
+
+def _bucket(n: int, align: int) -> int:
+    """Geometric capacity bucket: round `n` up to a multiple of
+    max(align, next_pow2(n)/8). Capacities are then stable under small
+    growth (≤ +12.5% slack), so repeated re-bakes of an edited scene keep
+    identical array shapes — the point of stable_shapes bakes."""
+    n = max(int(n), align)
+    step = max(align, (1 << (n - 1).bit_length()) // 8)
+    return -(-n // step) * step
 
 
 def _pack_traversal_arrays(bvh, v0, e1, e2, tri_object, leaf_size):
@@ -487,7 +506,8 @@ def bake_scene(scene: Scene, leaf_size: int = 16,
                device_put: bool = True,
                reuse_bvh: BVH = None,
                pallas_budget_bytes: int = None,
-               pack_pallas: bool = True) -> Tuple[SceneOnDevice, BVH]:
+               pack_pallas: bool = True,
+               stable_shapes: bool = False) -> Tuple[SceneOnDevice, BVH]:
     """Flatten + world-transform + BVH-build a CPU Scene.
 
     The analog of gpu_scene_init/bake (gpu_scene.odin:45,77-118). Returns
@@ -505,6 +525,18 @@ def bake_scene(scene: Scene, leaf_size: int = 16,
     renderers never read them, and the collapse costs host bake time plus
     ~512 B/row of device memory (placeholder 1-row arrays keep the pytree
     structure).
+
+    `stable_shapes=True` pads every table to a geometric capacity bucket
+    (≤ +12.5% rows) and sets the static counts to TABLE sizes, so small
+    topology edits re-bake into the SAME jit signature: object add/remove
+    becomes bake+upload instead of an XLA re-compile (the reference's
+    editor adds objects instantly through driver AS rebuilds,
+    gpu_scene.odin:430-455). Image-neutral by construction: padded lights
+    carry zero selection weight and zero emission, padded triangles are
+    degenerate, padded tree rows are unreachable (done-skips are rewritten
+    past the padding). Skipped (with a log) for multi-part bakes and when
+    padding would push the kernel arrays over `pallas_budget_bytes`.
+    Exact counts ride in the `true_counts` device leaf.
     """
     if not scene.objects:
         raise ValueError("cannot bake an empty scene")
@@ -589,9 +621,6 @@ def bake_scene(scene: Scene, leaf_size: int = 16,
     tri_object_p = tri_object[perm]
     tri_material_p = obj_material[tri_object_p]
 
-    # --- pad to lane multiple with degenerate triangles ---
-    t_pad = max(_PAD, ((num_refs + _PAD - 1) // _PAD) * _PAD)
-
     # --- packed traversal layouts (see SceneOnDevice field docs) ---
     nodes_packed, tris_packed = _pack_traversal_arrays(
         bvh, v0p, e1p, e2p, tri_object_p, leaf_size
@@ -629,6 +658,69 @@ def bake_scene(scene: Scene, leaf_size: int = 16,
         qroot = np.zeros((1,), np.int32)
         q_stack_need = 1
 
+    # --- stable-shape (capacity) decision -------------------------------
+    stable = bool(stable_shapes) and num_parts == 1
+    if stable and pack_pallas and pallas_budget_bytes is not None:
+        leaf_units = -(-(leaf_size * 12) // 128)
+        padded_rows = (_bucket(qnodes.shape[0], 64)
+                       + _bucket(ptris.shape[0], 64) * leaf_units)
+        if padded_rows * 512 > pallas_budget_bytes:
+            logging.getLogger(__name__).info(
+                "stable_shapes disabled: capacity padding would exceed the "
+                "pallas VMEM budget"
+            )
+            stable = False
+    if stable_shapes and num_parts > 1:
+        logging.getLogger(__name__).info(
+            "stable_shapes disabled: multi-part bake (%d parts)", num_parts
+        )
+
+    # --- pad triangle tables to lane multiple with degenerate triangles ---
+    t_pad = (_bucket(num_refs, _PAD) if stable
+             else max(_PAD, ((num_refs + _PAD - 1) // _PAD) * _PAD))
+
+    # Node + kernel tables: exact by default; capacity-padded when stable.
+    # Padded node rows are UNREACHABLE — traversal enters nodes only via
+    # descend (cur+1 within the real preorder) or skip links, and every
+    # "done" skip (== real node count) is rewritten to point past the
+    # padding — so fills are defensive (empty/NaN boxes that cannot hit).
+    nodes_min_a, nodes_max_a = bvh.nodes_min, bvh.nodes_max
+    nodes_skip_a = bvh.nodes_skip
+    nodes_first_a, nodes_count_a = bvh.nodes_first, bvh.nodes_count
+    if stable:
+        nn_real = bvh.num_nodes
+        nn_cap = _bucket(nn_real, 64)
+        skip_rw = np.where(bvh.nodes_skip >= nn_real, nn_cap,
+                           bvh.nodes_skip).astype(np.int32)
+        nodes_min_a = _pad_rows(bvh.nodes_min, nn_cap, fill=np.inf)
+        nodes_max_a = _pad_rows(bvh.nodes_max, nn_cap, fill=-np.inf)
+        nodes_skip_a = _pad_rows(skip_rw, nn_cap, fill=nn_cap)
+        nodes_first_a = _pad_rows(bvh.nodes_first, nn_cap, fill=0)
+        nodes_count_a = _pad_rows(bvh.nodes_count, nn_cap, fill=0)
+        nodes_packed = nodes_packed.copy()
+        nodes_packed[:, 6] = skip_rw.view(np.float32)
+        np_pad = np.zeros((nn_cap - nn_real, 8), np.float32)
+        np_pad[:, 0:3] = np.inf
+        np_pad[:, 3:6] = -np.inf
+        np_pad[:, 6] = np.asarray([nn_cap], np.int32).view(np.float32)[0]
+        nodes_packed = np.concatenate([nodes_packed, np_pad])
+        tris_packed = _pad_rows(tris_packed,
+                                _bucket(tris_packed.shape[0], 64))
+        if pack_pallas:
+            ni_cap = _bucket(pnodes.shape[0], 64)
+            pn_pad = np.full((ni_cap - pnodes.shape[0], 16), np.nan,
+                             np.float32)
+            pn_pad[:, 12:16] = 0.0
+            pnodes = np.concatenate([pnodes, pn_pad])
+            pmeta = _pad_rows(pmeta, 2 * ni_cap)
+            ptris = _pad_rows(ptris, _bucket(ptris.shape[0], 64))
+            n4_cap = _bucket(qnodes.shape[0], 64)
+            q_pad = np.full((n4_cap - qnodes.shape[0], 32), np.nan,
+                            np.float32)
+            q_pad[:, 28:32] = 0.0
+            qnodes = np.concatenate([qnodes, q_pad])
+            qmeta = _pad_rows(qmeta, 4 * n4_cap)
+
     materials = scene.materials
 
     # --- packed light tables (see SceneOnDevice field docs) ---
@@ -663,6 +755,77 @@ def bake_scene(scene: Scene, leaf_size: int = 16,
             light_emission_arr[np.clip(own, 0, num_lights - 1)], 0.0
         )
 
+    # Light / material / object / light-tri tables as locals (padded to
+    # capacity buckets under stable shapes; exact otherwise). Padded lights
+    # have zero power (never selected: zero CDF mass; zero contribution at
+    # the r==0 tie) and num_tris 0 (sample marked invalid); padded mats are
+    # only reachable through padded (degenerate) triangles.
+    light_object_arr = np.asarray(light_object, np.int32).reshape(num_lights)
+    light_first_arr = np.asarray(light_first, np.int32).reshape(num_lights)
+    light_count_arr = np.asarray(light_count, np.int32).reshape(num_lights)
+    light_center_arr = np.asarray(light_center, np.float32).reshape(
+        num_lights, 3)
+    light_power_arr = np.asarray(light_power, np.float32).reshape(num_lights)
+    light_tri_v0_arr = np.ascontiguousarray(v0)
+    light_tri_e1_arr = np.ascontiguousarray(e1)
+    light_tri_e2_arr = np.ascontiguousarray(e2)
+    light_tri_object_arr = np.ascontiguousarray(tri_object)
+    obj_light_index_arr = obj_light_index
+    mat_packed_arr = _pack_materials(materials)
+    mat_cols = {
+        "mat_albedo": np.asarray([m.albedo for m in materials], np.float32),
+        "mat_emission_color": np.asarray(
+            [m.emission_color for m in materials], np.float32),
+        "mat_emission_power": np.asarray(
+            [m.emission_power for m in materials], np.float32),
+        "mat_roughness": np.asarray(
+            [m.roughness for m in materials], np.float32),
+        "mat_metallic": np.asarray(
+            [m.metallic for m in materials], np.float32),
+        "mat_transmission": np.asarray(
+            [m.transmission for m in materials], np.float32),
+        "mat_ior": np.asarray([m.ior for m in materials], np.float32),
+        "mat_dispersion": np.asarray(
+            [m.dispersion for m in materials], np.float32),
+    }
+    l_tab, o_tab, m_tab, t_tab = (num_lights, len(scene.objects),
+                                  len(materials), num_tris)
+    true_counts = None
+    depth_tab = bvh.max_depth()
+    qstack_tab = q_stack_need
+    if stable:
+        l_tab = _bucket(num_lights, 4) if num_lights else 0
+        o_tab = _bucket(len(scene.objects), 16)
+        m_tab = _bucket(len(materials), 8)
+        t_tab = _bucket(num_tris, _PAD)
+        light_object_arr = _pad_rows(light_object_arr, l_tab, fill=-1)
+        light_first_arr = _pad_rows(light_first_arr, l_tab)
+        light_count_arr = _pad_rows(light_count_arr, l_tab)
+        light_center_arr = _pad_rows(light_center_arr, l_tab)
+        light_emission_arr = _pad_rows(light_emission_arr, l_tab)
+        light_power_arr = _pad_rows(light_power_arr, l_tab)
+        light_meta = _pad_rows(light_meta, l_tab)
+        light_tri_v0_arr = _pad_rows(light_tri_v0_arr, t_tab)
+        light_tri_e1_arr = _pad_rows(light_tri_e1_arr, t_tab)
+        light_tri_e2_arr = _pad_rows(light_tri_e2_arr, t_tab)
+        light_tri_object_arr = _pad_rows(light_tri_object_arr, t_tab,
+                                         fill=-1)
+        ltp_pad = np.zeros((t_tab - len(light_tri_packed), 16), np.float32)
+        ltp_pad[:, 10] = -1.0  # no owning light
+        light_tri_packed = np.concatenate([light_tri_packed, ltp_pad])
+        obj_light_index_arr = _pad_rows(obj_light_index_arr, o_tab, fill=-1)
+        mat_packed_arr = _pad_rows(mat_packed_arr, m_tab)
+        mat_packed_arr[len(materials):, 10] = 1.0  # padded ior = vacuum
+        for k in mat_cols:
+            mat_cols[k] = _pad_rows(
+                mat_cols[k], m_tab, fill=1.0 if k == "mat_ior" else 0.0)
+        # Statics hold TABLE sizes under stable shapes; depth/stack bounds
+        # round up so small rebuilds keep the jit signature.
+        depth_tab = -(-depth_tab // 8) * 8
+        qstack_tab = -(-q_stack_need // 8) * 8
+        true_counts = np.asarray(
+            [num_tris, num_lights, len(scene.objects), num_refs], np.int32)
+
     def as_device(x):
         return jax.device_put(x) if device_put else x
 
@@ -675,11 +838,11 @@ def bake_scene(scene: Scene, leaf_size: int = 16,
         tri_n2=as_device(_pad_rows(n2p, t_pad)),
         tri_object=as_device(_pad_rows(tri_object_p, t_pad, fill=-1)),
         tri_material=as_device(_pad_rows(tri_material_p, t_pad, fill=0)),
-        nodes_min=as_device(bvh.nodes_min),
-        nodes_max=as_device(bvh.nodes_max),
-        nodes_skip=as_device(bvh.nodes_skip),
-        nodes_first=as_device(bvh.nodes_first),
-        nodes_count=as_device(bvh.nodes_count),
+        nodes_min=as_device(nodes_min_a),
+        nodes_max=as_device(nodes_max_a),
+        nodes_skip=as_device(nodes_skip_a),
+        nodes_first=as_device(nodes_first_a),
+        nodes_count=as_device(nodes_count_a),
         nodes_packed=as_device(nodes_packed),
         tris_packed=as_device(tris_packed),
         pnodes=as_device(pnodes),
@@ -706,67 +869,41 @@ def bake_scene(scene: Scene, leaf_size: int = 16,
                 obj_light_index, obj_light_num,
             )
         ),
-        mat_packed=as_device(_pack_materials(materials)),
-        mat_albedo=as_device(
-            np.asarray([m.albedo for m in materials], np.float32)
-        ),
-        mat_emission_color=as_device(
-            np.asarray([m.emission_color for m in materials], np.float32)
-        ),
-        mat_emission_power=as_device(
-            np.asarray([m.emission_power for m in materials], np.float32)
-        ),
-        mat_roughness=as_device(
-            np.asarray([m.roughness for m in materials], np.float32)
-        ),
-        mat_metallic=as_device(
-            np.asarray([m.metallic for m in materials], np.float32)
-        ),
-        mat_transmission=as_device(
-            np.asarray([m.transmission for m in materials], np.float32)
-        ),
-        mat_ior=as_device(
-            np.asarray([m.ior for m in materials], np.float32)
-        ),
-        mat_dispersion=as_device(
-            np.asarray([m.dispersion for m in materials], np.float32)
-        ),
-        light_object=as_device(
-            np.asarray(light_object, np.int32).reshape(num_lights)
-        ),
-        light_first_tri=as_device(
-            np.asarray(light_first, np.int32).reshape(num_lights)
-        ),
-        light_num_tris=as_device(
-            np.asarray(light_count, np.int32).reshape(num_lights)
-        ),
-        light_center=as_device(
-            np.asarray(light_center, np.float32).reshape(num_lights, 3)
-        ),
-        light_emission=as_device(
-            np.asarray(light_emission, np.float32).reshape(num_lights, 3)
-        ),
-        light_power=as_device(
-            np.asarray(light_power, np.float32).reshape(num_lights)
-        ),
-        light_tri_v0=as_device(np.ascontiguousarray(v0)),
-        light_tri_e1=as_device(np.ascontiguousarray(e1)),
-        light_tri_e2=as_device(np.ascontiguousarray(e2)),
-        light_tri_object=as_device(np.ascontiguousarray(tri_object)),
-        obj_light_index=as_device(obj_light_index),
+        mat_packed=as_device(mat_packed_arr),
+        mat_albedo=as_device(mat_cols["mat_albedo"]),
+        mat_emission_color=as_device(mat_cols["mat_emission_color"]),
+        mat_emission_power=as_device(mat_cols["mat_emission_power"]),
+        mat_roughness=as_device(mat_cols["mat_roughness"]),
+        mat_metallic=as_device(mat_cols["mat_metallic"]),
+        mat_transmission=as_device(mat_cols["mat_transmission"]),
+        mat_ior=as_device(mat_cols["mat_ior"]),
+        mat_dispersion=as_device(mat_cols["mat_dispersion"]),
+        light_object=as_device(light_object_arr),
+        light_first_tri=as_device(light_first_arr),
+        light_num_tris=as_device(light_count_arr),
+        light_center=as_device(light_center_arr),
+        light_emission=as_device(light_emission_arr),
+        light_power=as_device(light_power_arr),
+        light_tri_v0=as_device(light_tri_v0_arr),
+        light_tri_e1=as_device(light_tri_e1_arr),
+        light_tri_e2=as_device(light_tri_e2_arr),
+        light_tri_object=as_device(light_tri_object_arr),
+        obj_light_index=as_device(obj_light_index_arr),
         light_meta_packed=as_device(light_meta),
         light_tri_packed=as_device(light_tri_packed),
         qnodes=as_device(qnodes),
         qmeta=as_device(qmeta),
         qroot=as_device(qroot),
-        num_triangles=num_tris,
-        num_lights=num_lights,
-        num_objects=len(scene.objects),
-        bvh_max_depth=bvh.max_depth(),
+        num_triangles=t_tab,
+        num_lights=l_tab,
+        num_objects=o_tab,
+        bvh_max_depth=depth_tab,
         num_parts=num_parts,
         part_max_depth=part_max_depth,
-        q_stack_need=q_stack_need,
+        q_stack_need=qstack_tab,
         part_aabb=(as_device(part_aabb) if part_aabb is not None else None),
+        true_counts=(as_device(true_counts) if true_counts is not None
+                     else None),
     )
     return ds, bvh
 
@@ -784,7 +921,12 @@ def update_materials(ds: SceneOnDevice, scene: Scene,
         oi for oi, o in enumerate(scene.objects)
         if mats[o.material_index].emission_power > 0
     ]
-    if emissive_now != list(np.asarray(ds.light_object).tolist()):
+    # Capacity-padded bakes carry -1 padding in light_object; compare
+    # against the real entries only. New materials beyond the baked table
+    # also force the full bake (their rows don't exist yet).
+    lo = np.asarray(ds.light_object)
+    if (emissive_now != lo[lo >= 0].tolist()
+            or len(mats) > ds.mat_albedo.shape[0]):
         new_ds, _ = bake_scene(scene, **bake_kwargs)
         return new_ds
     light_emission = np.asarray(
@@ -801,31 +943,30 @@ def update_materials(ds: SceneOnDevice, scene: Scene,
          for oi in emissive_now],
         np.float32,
     ).reshape(len(emissive_now))
+    # Preserve the baked table shapes (capacity-padded bakes are larger
+    # than the true counts; exact bakes are equal — padding is a no-op).
+    m_tab = ds.mat_albedo.shape[0]
+    l_tab = ds.light_power.shape[0]
+    mat_packed_arr = _pad_rows(_pack_materials(mats), m_tab)
+    mat_packed_arr[len(mats):, 10] = 1.0  # padded ior = vacuum
+
+    def mat_col(vals, fill=0.0):
+        return jax.device_put(
+            _pad_rows(np.asarray(vals, np.float32), m_tab, fill=fill))
+
     return dataclasses.replace(
         ds,
-        mat_albedo=jax.device_put(np.asarray([m.albedo for m in mats], np.float32)),
-        mat_emission_color=jax.device_put(
-            np.asarray([m.emission_color for m in mats], np.float32)
-        ),
-        mat_emission_power=jax.device_put(
-            np.asarray([m.emission_power for m in mats], np.float32)
-        ),
-        mat_roughness=jax.device_put(
-            np.asarray([m.roughness for m in mats], np.float32)
-        ),
-        mat_metallic=jax.device_put(
-            np.asarray([m.metallic for m in mats], np.float32)
-        ),
-        mat_transmission=jax.device_put(
-            np.asarray([m.transmission for m in mats], np.float32)
-        ),
-        mat_ior=jax.device_put(np.asarray([m.ior for m in mats], np.float32)),
-        mat_dispersion=jax.device_put(
-            np.asarray([m.dispersion for m in mats], np.float32)
-        ),
-        mat_packed=jax.device_put(_pack_materials(mats)),
-        light_emission=jax.device_put(light_emission),
-        light_power=jax.device_put(light_power),
+        mat_albedo=mat_col([m.albedo for m in mats]),
+        mat_emission_color=mat_col([m.emission_color for m in mats]),
+        mat_emission_power=mat_col([m.emission_power for m in mats]),
+        mat_roughness=mat_col([m.roughness for m in mats]),
+        mat_metallic=mat_col([m.metallic for m in mats]),
+        mat_transmission=mat_col([m.transmission for m in mats]),
+        mat_ior=mat_col([m.ior for m in mats], fill=1.0),
+        mat_dispersion=mat_col([m.dispersion for m in mats]),
+        mat_packed=jax.device_put(mat_packed_arr),
+        light_emission=jax.device_put(_pad_rows(light_emission, l_tab)),
+        light_power=jax.device_put(_pad_rows(light_power, l_tab)),
         light_meta_packed=jax.device_put(_refresh_light_meta(
             np.asarray(ds.light_meta_packed), light_emission, light_power
         )),
@@ -854,8 +995,11 @@ def _refresh_light_tri_emission(light_tri_packed, light_emission: np.ndarray):
 def _refresh_light_meta(meta: np.ndarray, light_emission: np.ndarray,
                         light_power: np.ndarray) -> np.ndarray:
     """Material edits change only the emission/power slots of the packed
-    light meta rows (the in-place material-SSBO-write analog)."""
+    light meta rows (the in-place material-SSBO-write analog). `meta` may
+    be capacity-padded beyond the true light count — only real rows are
+    rewritten."""
     meta = meta.copy()
-    meta[:, 2:5] = light_emission
-    meta[:, 6] = light_power
+    k = len(light_emission)
+    meta[:k, 2:5] = light_emission
+    meta[:k, 6] = light_power
     return meta

@@ -82,6 +82,13 @@ class RenderConfig:
     # +4.9% end-to-end at 1080p/300k tris, image byte-identical
     # (tools/r3_leaf16_frame_lab.py; sweep in tools/leafsweep_lab.py).
     bvh_leaf_size: int = 16
+    # Capacity-padded (stable-shape) bakes for interactive editing: small
+    # topology edits (object add/remove) re-bake into the SAME jit
+    # signature, so the editor path costs bake+upload instead of an XLA
+    # re-compile. Image-neutral (tests/test_stable_bake.py); costs ≤ +12.5%
+    # scene-table memory. Auto-skipped for multi-part bakes and when the
+    # padding would overflow the kernel VMEM budget.
+    stable_bake: bool = True
 
     # Preview denoising (BEYOND-REFERENCE; integrator/denoise.py): apply an
     # SVGF-style edge-aware a-trous filter at image()-time. Never touches
