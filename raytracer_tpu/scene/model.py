@@ -222,6 +222,20 @@ class Scene:
         self.changes.append(SceneChange(SceneChangeType.OBJECT_ADDED))
         return len(self.objects) - 1
 
+    def delete_object(self, object_idx: int):
+        """Swap-remove an object (BEYOND-REFERENCE: the journal reserves
+        Object_Removed — scene.odin:21 — but the reference ships no object
+        deleter; materials get the same swap-remove treatment at
+        scene.odin:104-116, so this mirrors that convention). Meshes and
+        materials are untouched: they only matter once referenced."""
+        last = len(self.objects) - 1
+        assert 0 <= object_idx <= last, "Invalid object index"
+        self.objects[object_idx] = self.objects[last]
+        self.objects.pop()
+        self.changes.append(
+            SceneChange(SceneChangeType.OBJECT_REMOVED, object_idx)
+        )
+
     def update_object_position(self, object_idx: int, position):
         """scene_update_object_position (scene.odin:137-142)."""
         tr = self.objects[object_idx].transform

@@ -107,6 +107,28 @@ def test_object_add_keeps_jit_signature():
     assert int(np.asarray(r.device_scene.true_counts)[0]) > 3980
 
 
+def test_object_delete_keeps_jit_signature():
+    """Object removal (swap-remove, journaled as OBJECT_REMOVED) also
+    re-bakes inside the capacity bucket: shapes/statics unchanged, the
+    render jit cache-hits, and the geometry is really gone."""
+    scene = create_cornell_box()
+    mesh_idx = scene.add_mesh(create_sphere(4, 4))
+    extra = scene.add_object("doomed", mesh_idx, 0, position=(0.2, 0, 0),
+                             scale=(0.1, 0.1, 0.1))
+    cfg = RenderConfig(width=16, height=16, accel="bvh", stable_bake=True)
+    r = ProgressiveRenderer(scene, config=cfg)
+    assert r.step()
+    sig0 = _sig(r.device_scene)
+    tris0 = int(np.asarray(r.device_scene.true_counts)[0])
+    n_compiles = _render_frame_jit._cache_size()
+
+    scene.delete_object(extra)
+    assert r.step()
+    assert _sig(r.device_scene) == sig0
+    assert _render_frame_jit._cache_size() == n_compiles
+    assert int(np.asarray(r.device_scene.true_counts)[0]) < tris0
+
+
 def test_material_update_keeps_shapes_under_padding():
     scene = create_cornell_box()
     ds, _ = bake_scene(scene, stable_shapes=True)
