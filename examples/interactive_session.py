@@ -84,6 +84,16 @@ def main():
     m0 = scene.materials[0]
     scene.update_material(0, dataclasses.replace(m0))
     frame()
+    # Warm the topology-edit path too (first add pays the one-time
+    # device_put/transfer program for the re-bake path; under stable_bake
+    # the render jit itself cache-hits): add-and-frame once untimed.
+    warm_mesh = scene.add_mesh(create_sphere(4, 4))
+    warm_obj = scene.add_object("warmup", warm_mesh, 0,
+                                position=(0.0, 0.4, 0.3),
+                                scale=(0.05, 0.05, 0.05))
+    frame()
+    scene.delete_object(warm_obj)
+    frame()
     # Fresh stats for the timed session (the compile frame would otherwise
     # dominate the table's ms/frame).
     stats = RenderStats()

@@ -236,11 +236,13 @@ def _pad_rows(a: np.ndarray, total: int, fill=0.0) -> np.ndarray:
 
 def _bucket(n: int, align: int) -> int:
     """Geometric capacity bucket: round `n` up to a multiple of
-    max(align, next_pow2(n)/8). Capacities are then stable under small
-    growth (≤ +12.5% slack), so repeated re-bakes of an edited scene keep
-    identical array shapes — the point of stable_shapes bakes."""
+    max(align, floor_pow2(n)/8). The FLOOR power of two bounds the slack
+    at +12.5% (a ceil pow2 step would allow +25% just above a power of
+    two); capacities are then stable under small growth, so repeated
+    re-bakes of an edited scene keep identical array shapes — the point
+    of stable_shapes bakes."""
     n = max(int(n), align)
-    step = max(align, (1 << (n - 1).bit_length()) // 8)
+    step = max(align, (1 << (n.bit_length() - 1)) // 8)
     return -(-n // step) * step
 
 

@@ -229,7 +229,12 @@ class Scene:
         scene.odin:104-116, so this mirrors that convention). Meshes and
         materials are untouched: they only matter once referenced."""
         last = len(self.objects) - 1
-        assert 0 <= object_idx <= last, "Invalid object index"
+        if not 0 <= object_idx <= last:
+            raise IndexError(f"invalid object index {object_idx}")
+        if last == 0:
+            # An empty scene cannot be baked (bake_scene raises); refuse
+            # here so an editor delete can't strand the renderer.
+            raise ValueError("cannot delete the last object in a scene")
         self.objects[object_idx] = self.objects[last]
         self.objects.pop()
         self.changes.append(

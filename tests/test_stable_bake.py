@@ -129,6 +129,21 @@ def test_object_delete_keeps_jit_signature():
     assert int(np.asarray(r.device_scene.true_counts)[0]) < tris0
 
 
+def test_object_delete_guards():
+    import pytest
+
+    from raytracer_tpu.scene.model import Scene, create_plane
+
+    s = Scene()
+    s.add_material(Material(name="m"))
+    mesh = s.add_mesh(create_plane())
+    s.add_object("only", mesh, 0)
+    with pytest.raises(IndexError):
+        s.delete_object(5)
+    with pytest.raises(ValueError):
+        s.delete_object(0)  # deleting the last object strands the renderer
+
+
 def test_material_update_keeps_shapes_under_padding():
     scene = create_cornell_box()
     ds, _ = bake_scene(scene, stable_shapes=True)

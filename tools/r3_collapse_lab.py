@@ -154,7 +154,6 @@ def main():
         iv, lvv, best_t = quad_sim(qnodes, qmeta, v0, e1, e2, bvh,
                                    org0, dirs0, LEAF)
         results[label] = (qnodes, qmeta, best_t)
-        slots = qmeta.reshape(-1, 4)
         used = (np.abs(qnodes[:, :24].reshape(-1, 4, 6))
                 < np.inf).all(-1).sum(-1)
         print(f"{label}: quads {len(qnodes)}, stack_need {need}, "
@@ -162,7 +161,6 @@ def main():
               f"primary visits/ray: internal {iv.mean():.1f} "
               f"leaf {lvv.mean():.1f} total {(iv + lvv).mean():.1f}",
               flush=True)
-        del slots
 
     # Hit results must be identical across collapses (same binary tree).
     t_ref = results[variants[0][0]][2]
