@@ -129,6 +129,24 @@ def test_object_delete_keeps_jit_signature():
     assert int(np.asarray(r.device_scene.true_counts)[0]) < tris0
 
 
+def test_bucket_slack_bound():
+    """The documented capacity guarantee: ≤ +12.5% slack (plus the align
+    floor for tiny tables), idempotent (a bucket is its own bucket — the
+    stability property that keeps re-bake shapes identical)."""
+    from raytracer_tpu.scene.device_scene import _bucket
+
+    ns = list(range(1, 3000, 7)) + [
+        (1 << k) + d for k in range(8, 22) for d in (-1, 0, 1, 5)
+    ]
+    for align in (4, 8, 16, 64, 128):
+        for n in ns:
+            b = _bucket(n, align)
+            assert b >= max(n, align)
+            assert b % align == 0
+            assert b <= max(n * 9 // 8 + 1, n + align), (n, align, b)
+            assert _bucket(b, align) == b
+
+
 def test_object_delete_guards():
     import pytest
 
