@@ -8,7 +8,10 @@ bench-style workload:
 
   - closest-hit: sub-packet kernel vs XLA walk (tri ids + t within 1e-4),
   - any-hit: occlusion kernel vs XLA walk (exact mask equality),
-  - multi-part: a forced 2+-part bake must be hit-identical to single-part.
+  - multi-part: a forced 2+-part bake must be hit-identical to single-part,
+  - stable-shapes: a capacity-padded bake (the interactive default) must be
+    hit-identical on real Mosaic too — padded qnode/leaf rows must stay
+    unreachable under the compiled layout, not just in interpret mode.
 
 Writes TPU_SMOKE.json; bench.py runs this after its datapoints (skip with
 RAYTRACER_TPU_SKIP_SMOKE=1). Reference analog: the Vulkan validation layers
@@ -104,6 +107,10 @@ def run(report_path="TPU_SMOKE.json"):
     ok &= occl_check(
         f"occlusion_multipart_p{dsp.num_parts}", dsp, origin, bdir)
     assert dsp.num_parts > 1
+    dss, _ = bake_scene(scene, stable_shapes=True)
+    assert dss.nodes_skip.shape[0] > ds.nodes_skip.shape[0]  # really padded
+    ok &= closest_check("closest_stable_padded", dss, origin, bdir)
+    ok &= occl_check("occlusion_stable_padded", dss, origin, direction)
 
     report = {
         "ok": bool(ok),
