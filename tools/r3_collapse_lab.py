@@ -24,7 +24,11 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-from tools.r3_sah_cpu_proxy import quad_sim, world_tris  # noqa: E402
+from tools.r3_sah_cpu_proxy import (  # noqa: E402
+    primary_rays,
+    quad_sim,
+    world_tris,
+)
 
 LEAF = 16
 N_PRIMARY = 4096
@@ -130,16 +134,7 @@ def main():
     rng = np.random.default_rng(SEED)
     px = rng.integers(0, WIDTH, N_PRIMARY)
     py = rng.integers(0, HEIGHT, N_PRIMARY)
-    ndc = np.stack([(px + 0.5) / WIDTH * 2 - 1,
-                    (py + 0.5) / HEIGHT * 2 - 1], -1)
-    tgt = np.concatenate([ndc, np.ones((N_PRIMARY, 1)),
-                          np.ones((N_PRIMARY, 1))], -1) @ ipm.T
-    d = tgt[:, :3] / tgt[:, 3:4]
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    dirs0 = (np.concatenate([d, np.zeros((N_PRIMARY, 1))], -1) @ ivm.T)[:, :3]
-    dirs0 /= np.linalg.norm(dirs0, axis=-1, keepdims=True)
-    org0 = np.broadcast_to(ivm[:3, 3], dirs0.shape).astype(np.float32)
-    dirs0 = dirs0.astype(np.float32)
+    org0, dirs0 = primary_rays(ipm, ivm, WIDTH, HEIGHT, px, py)
 
     variants = [
         ("grandchild (production)", collapse_bvh4),

@@ -28,6 +28,21 @@ N_BOUNCE = 4096
 SEED = 7
 
 
+def primary_rays(ipm, ivm, width, height, px, py):
+    """Camera rays for pixel coords (shared by the r3_* proxy labs so the
+    NDC/Y-flip convention lives in ONE place)."""
+    n = len(px)
+    ndc = np.stack([(px + 0.5) / width * 2 - 1,
+                    (py + 0.5) / height * 2 - 1], -1)
+    tgt = np.concatenate([ndc, np.ones((n, 1)), np.ones((n, 1))], -1) @ ipm.T
+    d = tgt[:, :3] / tgt[:, 3:4]
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dirs = (np.concatenate([d, np.zeros((n, 1))], -1) @ ivm.T)[:, :3]
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    org = np.broadcast_to(ivm[:3, 3], dirs.shape).astype(np.float32)
+    return org, dirs.astype(np.float32)
+
+
 def world_tris(scene):
     v0s, e1s, e2s = [], [], []
     for obj in scene.objects:
@@ -166,16 +181,7 @@ def main():
     rng = np.random.default_rng(SEED)
     px = rng.integers(0, WIDTH, N_PRIMARY)
     py = rng.integers(0, HEIGHT, N_PRIMARY)
-    ndc = np.stack([(px + 0.5) / WIDTH * 2 - 1, (py + 0.5) / HEIGHT * 2 - 1],
-                   -1)
-    tgt = np.concatenate([ndc, np.ones((N_PRIMARY, 1)),
-                          np.ones((N_PRIMARY, 1))], -1) @ ipm.T
-    d = tgt[:, :3] / tgt[:, 3:4]
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    dirs0 = (np.concatenate([d, np.zeros((N_PRIMARY, 1))], -1) @ ivm.T)[:, :3]
-    dirs0 /= np.linalg.norm(dirs0, axis=-1, keepdims=True)
-    org0 = np.broadcast_to(ivm[:3, 3], dirs0.shape).astype(np.float32)
-    dirs0 = dirs0.astype(np.float32)
+    org0, dirs0 = primary_rays(ipm, ivm, WIDTH, HEIGHT, px, py)
 
     # Production _sah_split is now the 3-axis/32-bin sweep (bvh.py); the
     # legacy widest-axis split lives in r3_sah_axes_lab for comparison.

@@ -21,7 +21,7 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-from tools.r3_sah_cpu_proxy import world_tris  # noqa: E402
+from tools.r3_sah_cpu_proxy import primary_rays, world_tris  # noqa: E402
 from tools.r3_union_proxy import sort_key, union_sim  # noqa: E402
 
 LEAF = 16
@@ -128,15 +128,7 @@ def main():
     n = GROUP * N_GROUPS * 2  # oversample; bounce set shrinks to hit count
     px = rng.integers(0, WIDTH, n)
     py = rng.integers(0, HEIGHT, n)
-    ndc = np.stack([(px + 0.5) / WIDTH * 2 - 1,
-                    (py + 0.5) / HEIGHT * 2 - 1], -1)
-    tgt = np.concatenate([ndc, np.ones((n, 1)), np.ones((n, 1))], -1) @ ipm.T
-    d = tgt[:, :3] / tgt[:, 3:4]
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    dirs0 = (np.concatenate([d, np.zeros((n, 1))], -1) @ ivm.T)[:, :3]
-    dirs0 /= np.linalg.norm(dirs0, axis=-1, keepdims=True)
-    org0 = np.broadcast_to(ivm[:3, 3], dirs0.shape).astype(np.float32)
-    dirs0 = dirs0.astype(np.float32)
+    org0, dirs0 = primary_rays(ipm, ivm, WIDTH, HEIGHT, px, py)
 
     t_prim, row_prim = quad_sim_tri(qnodes, qmeta, v0, e1, e2, bvh,
                                     org0, dirs0, LEAF)
