@@ -55,6 +55,13 @@ def _render_frame_restir_jit(scene, camera_ubo, accum, reservoir,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def _render_frame_adaptive_jit(scene, camera_ubo, state, cfg):
+    from raytracer_tpu.integrator.adaptive import render_frame_adaptive
+
+    return render_frame_adaptive(scene, camera_ubo, state, cfg)
+
+
 class ProgressiveRenderer:
     """Single-chip or multi-chip progressive renderer.
 
@@ -139,6 +146,18 @@ class ProgressiveRenderer:
             self.reservoir = self._place_reservoir(
                 Reservoir.empty(self.config.num_pixels)
             )
+        self.adaptive = None
+        if self.config.adaptive_tol > 0:
+            if self.config.use_restir:
+                raise ValueError(
+                    "adaptive_tol and use_restir are mutually exclusive "
+                    "(ReSTIR carries its own temporal state)"
+                )
+            from raytracer_tpu.integrator.adaptive import AdaptiveState
+
+            self.adaptive = self._place_adaptive(
+                AdaptiveState.empty(self.config.num_pixels)
+            )
 
     # -- multi-chip placement (one path for init/reset/load) -------------
     def _init_mesh(self):
@@ -180,6 +199,13 @@ class ProgressiveRenderer:
         from raytracer_tpu.parallel.sharding import shard_reservoir
 
         return shard_reservoir(reservoir, self.mesh)
+
+    def _place_adaptive(self, state):
+        if self.mesh is None or state is None:
+            return state
+        from raytracer_tpu.parallel.sharding import shard_adaptive
+
+        return shard_adaptive(state, self.mesh)
 
     def _pallas_budget(self):
         """Packed-array VMEM budget for the bake: only the pallas accel needs
@@ -268,6 +294,12 @@ class ProgressiveRenderer:
             self.reservoir = self._place_reservoir(
                 Reservoir.empty(self.config.num_pixels)
             )
+        if self.adaptive is not None:
+            from raytracer_tpu.integrator.adaptive import AdaptiveState
+
+            self.adaptive = self._place_adaptive(
+                AdaptiveState.empty(self.config.num_pixels)
+            )
 
     # -- the hot loop ---------------------------------------------------
     def step(self) -> bool:
@@ -277,7 +309,27 @@ class ProgressiveRenderer:
         limit = self.config.accumulation_limit
         if limit is not None and self.frame >= limit:
             return False
-        if self.mesh is not None:
+        if self.adaptive is not None:
+            if self.mesh is not None:
+                from raytracer_tpu.parallel.sharding import (
+                    render_frame_adaptive_sharded,
+                    replicate,
+                )
+
+                self.adaptive = render_frame_adaptive_sharded(
+                    self.device_scene,
+                    replicate(self._camera_ubo_dev, self.mesh),
+                    self.adaptive, self.config, self.mesh,
+                )
+            else:
+                self.adaptive = _render_frame_adaptive_jit(
+                    self.device_scene, self._camera_ubo_dev,
+                    self.adaptive, self.config,
+                )
+            # Keep self.accum mirroring the image (checkpoint compat,
+            # denoiser input, anything reading .accum directly).
+            self.accum = self.adaptive.mean
+        elif self.mesh is not None:
             self._step_sharded()
         elif self.config.use_restir:
             self.accum, self.reservoir = _render_frame_restir_jit(
@@ -317,6 +369,17 @@ class ProgressiveRenderer:
                 self.device_scene, ubo, self.accum,
                 jnp.uint32(self.frame), self.config, self.mesh,
             )
+
+    def adaptive_converged_fraction(self) -> float:
+        """Fraction of pixels that have stopped sampling (0.0 when adaptive
+        sampling is off). One device readback."""
+        if self.adaptive is None:
+            return 0.0
+        from raytracer_tpu.integrator.adaptive import active_mask
+
+        return float(1.0 - jnp.mean(
+            active_mask(self.adaptive, self.config).astype(jnp.float32)
+        ))
 
     def render(self, num_frames: int) -> np.ndarray:
         for _ in range(num_frames):
@@ -371,6 +434,13 @@ class ProgressiveRenderer:
                 f"reservoir_{k}": np.asarray(v)
                 for k, v in self.reservoir._asdict().items()
             }
+        if self.adaptive is not None:
+            # Per-pixel Welford state (mean == accum; m2/count resume the
+            # convergence decisions exactly).
+            extra.update({
+                f"adaptive_{k}": np.asarray(v)
+                for k, v in self.adaptive._asdict().items()
+            })
         np.savez_compressed(
             path, accum=np.asarray(self.accum), frame=self.frame,
             width=self.config.width, height=self.config.height,
@@ -397,6 +467,26 @@ class ProgressiveRenderer:
                 self.reservoir = self._place_reservoir(
                     Reservoir.empty(self.config.num_pixels)
                 )
+        if self.adaptive is not None:
+            from raytracer_tpu.integrator.adaptive import AdaptiveState
+
+            if "adaptive_m2" in data:
+                self.adaptive = self._place_adaptive(AdaptiveState(**{
+                    k: jnp.asarray(data[f"adaptive_{k}"])
+                    for k in AdaptiveState._fields
+                }))
+                self.accum = self.adaptive.mean
+            else:
+                # Plain checkpoint into an adaptive renderer: adopt the
+                # accumulation as the mean with a uniform count and no
+                # variance history (pixels resume sampling until their
+                # fresh estimates converge).
+                self.adaptive = self._place_adaptive(AdaptiveState(
+                    mean=jnp.asarray(data["accum"]),
+                    m2=jnp.zeros((self.config.num_pixels,), jnp.float32),
+                    count=jnp.full((self.config.num_pixels,),
+                                   int(data["frame"]), jnp.uint32),
+                ))
         # Materialize the camera UBO now and clear the dirty flag so the
         # next begin_frame() doesn't wipe the restored accumulation (the
         # caller asserts the camera/scene match the checkpointed render).

@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                         " simple.rchit:10)")
     p.add_argument("--restir", action="store_true",
                    help="use ReSTIR DI for direct lighting")
+    p.add_argument("--adaptive", type=float, default=0.0, metavar="TOL",
+                   help="adaptive sampling: a pixel stops once the relative "
+                        "standard error of its mean luminance drops under "
+                        "TOL (0 = off; converged lanes cost ~nothing)")
     p.add_argument("--denoise", action="store_true",
                    help="edge-aware a-trous denoise of the output (and "
                         "previews); accumulation itself is untouched")
@@ -84,6 +88,7 @@ def main(argv=None) -> int:
         enable_transmission=not args.no_transmission,
         use_light_sampling_only=args.light_sampling_only,
         use_restir=args.restir,
+        adaptive_tol=args.adaptive,
         denoise_preview=args.denoise,
     )
     camera = Camera.create(

@@ -852,14 +852,25 @@ def _compact_prefix(n, depth, cfg: RenderConfig):
 
 
 def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
-                     pixel_start=0, num_pixels=None, with_stats: bool = False):
+                     pixel_start=0, num_pixels=None, with_stats: bool = False,
+                     active=None):
     """One progressive sample for a contiguous pixel range: returns radiance
     f32[N,3] (and a stats dict when with_stats=True).
 
     This is the body of simple.rgen:70-125 (everything but accumulation).
     `pixel_start`/`num_pixels` carve out a tile for multi-chip sharding
     (parallel/sharding.py): seeds and camera rays use GLOBAL pixel indices so
-    a sharded render is bit-identical to a single-chip one."""
+    a sharded render is bit-identical to a single-chip one.
+
+    `frame_number` may be a PER-PIXEL u32[N] vector (adaptive sampling:
+    each pixel's sample count is its own frame index, so seeds and the
+    frame-0 centered jitter stay per-pixel-correct). `active` (bool[N])
+    masks lanes out of the whole sample — their radiance is garbage and
+    the caller must not accumulate it (integrator/adaptive.py); lanes are
+    per-pixel independent, so active lanes are bit-identical to a run
+    without the mask. With a mask the depth-0 sort is forced on (inactive
+    lanes scattered in raster order would dilute every kernel group; the
+    sort coalesces them into groups that terminate in one pop)."""
     cfg = cfg.resolve_accel()
     n = cfg.num_pixels if num_pixels is None else num_pixels
     pixel_idx = (
@@ -869,13 +880,14 @@ def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
     seed0 = rng.seed_pixels(pixel_idx, frame_u32)
 
     # Jitter (getSampleOffset, simple.rgen:25-38): center on frame 0, else
-    # 0.4-amplitude. Two masked draws keep stream alignment.
-    jitter_on = frame_u32 > 0
-    jitter_mask = jnp.broadcast_to(jitter_on, (n,))
+    # 0.4-amplitude. Two masked draws keep stream alignment. The per-lane
+    # mask form is bit-identical to the scalar-predicate original for
+    # scalar frames (all-true / all-false mask).
+    jitter_mask = jnp.broadcast_to(frame_u32 > 0, (n,))
     r1, seed_rgen = rng.rnd_masked(seed0, jitter_mask)
     r2, seed_rgen = rng.rnd_masked(seed_rgen, jitter_mask)
     jitter = jnp.where(
-        jitter_on,
+        jitter_mask[:, None],
         0.5 + (jnp.stack([r1, r2], axis=-1) - 0.5) * 0.4,
         jnp.full((n, 2), 0.5, jnp.float32),
     )
@@ -892,7 +904,8 @@ def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
         throughput=jnp.ones((n, 3), jnp.float32),
         seed_rgen=seed_rgen,
         seed=seed_rgen,
-        alive=jnp.ones((n,), bool),
+        alive=(jnp.ones((n,), bool) if active is None
+               else jnp.asarray(active, bool)),
         first_bounce=jnp.ones((n,), bool),
         is_specular=jnp.zeros((n,), bool),
         prev_brdf_pdf=jnp.ones((n,), jnp.float32),
@@ -909,9 +922,10 @@ def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
         state, rays_traced, shadow_total = carry
         if cfg.accel == "pallas" and do_sort:
             # Primary rays (depth 0) are raster-ordered already; sorting
-            # only pays for itself on bounce wavefronts.
+            # only pays for itself on bounce wavefronts — except under an
+            # active mask, where dead-lane coalescing pays from depth 0.
             state = jax.lax.cond(
-                depth > 0,
+                jnp.logical_or(depth > 0, active is not None),
                 lambda s: _sort_wavefront(s, scene),
                 lambda s: s,
                 state,

@@ -134,6 +134,47 @@ def render_frame_restir_sharded(scene, camera_ubo, accum, reservoir,
     return fn(scene, camera_ubo, accum, reservoir, frame_number)
 
 
+def shard_adaptive(state, mesh: Mesh):
+    """Place an AdaptiveState sharded over its pixel dim (trailing dims
+    replicated — P(AXIS) is a prefix spec, like shard_reservoir)."""
+    return jax.device_put(state, NamedSharding(mesh, P(AXIS)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(2,)
+)
+def render_frame_adaptive_sharded(scene, camera_ubo, state,
+                                  cfg: RenderConfig, mesh: Mesh):
+    """One adaptive-sampling step with pixel tiles sharded over `mesh`.
+    Convergence is per-pixel local, so tiles need no communication at all
+    (same zero-collective structure as render_frame_sharded)."""
+    from raytracer_tpu.integrator.adaptive import render_frame_adaptive
+
+    n_dev = mesh.size
+    n = cfg.num_pixels
+    assert n % n_dev == 0, (
+        f"pixel count {n} not divisible by mesh size {n_dev}"
+    )
+    n_local = n // n_dev
+
+    def tile_fn(scene, camera_ubo, state_tile):
+        tile = jax.lax.axis_index(AXIS)
+        start = tile.astype(jnp.uint32) * jnp.uint32(n_local)
+        return render_frame_adaptive(
+            scene, camera_ubo, state_tile, cfg,
+            pixel_start=start, num_pixels=n_local,
+        )
+
+    fn = shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS)),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )
+    return fn(scene, camera_ubo, state)
+
+
 def _progressive_renderer_cls():
     from raytracer_tpu.api import ProgressiveRenderer
 

@@ -96,6 +96,15 @@ class RenderConfig:
     denoise_preview: bool = False
     denoise_iterations: int = 4
 
+    # Adaptive sampling (BEYOND-REFERENCE; integrator/adaptive.py): a pixel
+    # stops sampling once the relative standard error of its mean luminance
+    # drops under this tolerance (0 = off — every pixel samples every frame,
+    # bit-identical to the plain accumulation). Retired lanes sort dead-last
+    # so their kernel groups terminate in one pop. Mutually exclusive with
+    # use_restir (ReSTIR carries its own temporal state).
+    adaptive_tol: float = 0.0
+    adaptive_min_frames: int = 8
+
     # ReSTIR DI (BASELINE config 5). Off = plain NEE/MIS per the reference's
     # simple.* pipeline.
     use_restir: bool = False
