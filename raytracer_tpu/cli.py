@@ -123,6 +123,12 @@ def main(argv=None) -> int:
             print(stats.format_table())
             log.info("preview updated: %s (%d spp)", args.out,
                      renderer.frame)
+        if args.adaptive > 0 and (i + 1) % 8 == 0:
+            frac = renderer.adaptive_converged_fraction()
+            if frac >= 0.999:
+                log.info("adaptive: %.1f%% of pixels converged — stopping "
+                         "at %d/%d frames", frac * 100, i + 1, args.spp)
+                break
     elapsed = time.perf_counter() - start
 
     write_image(args.out, renderer.image())
