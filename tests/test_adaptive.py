@@ -107,6 +107,21 @@ def test_renderer_adaptive_quality_and_checkpoint(tmp_path):
         )
 
 
+def test_adaptive_resets_with_accumulation():
+    """Camera/scene invalidation must restart the Welford state along with
+    the accumulation (stale variance would freeze pixels against the OLD
+    image)."""
+    cfg = RenderConfig(width=8, height=8, accel="bvh", adaptive_tol=0.1)
+    r = ProgressiveRenderer(create_cornell_box(), config=cfg)
+    r.step()
+    r.step()
+    assert (np.asarray(r.adaptive.count) == 2).all()
+    r.set_camera(Camera.create(position=(0.1, 0.0, -3.0), aspect=1.0))
+    r.step()
+    assert (np.asarray(r.adaptive.count) == 1).all()
+    assert r.frame == 1
+
+
 def test_restir_and_adaptive_are_exclusive():
     with pytest.raises(ValueError):
         ProgressiveRenderer(
