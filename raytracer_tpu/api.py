@@ -435,11 +435,12 @@ class ProgressiveRenderer:
                 for k, v in self.reservoir._asdict().items()
             }
         if self.adaptive is not None:
-            # Per-pixel Welford state (mean == accum; m2/count resume the
-            # convergence decisions exactly).
+            # Per-pixel Welford state. The mean IS the accum buffer (saved
+            # above) — only m2/count are extra, and they resume the
+            # convergence decisions exactly.
             extra.update({
-                f"adaptive_{k}": np.asarray(v)
-                for k, v in self.adaptive._asdict().items()
+                "adaptive_m2": np.asarray(self.adaptive.m2),
+                "adaptive_count": np.asarray(self.adaptive.count),
             })
         np.savez_compressed(
             path, accum=np.asarray(self.accum), frame=self.frame,
@@ -471,19 +472,30 @@ class ProgressiveRenderer:
             from raytracer_tpu.integrator.adaptive import AdaptiveState
 
             if "adaptive_m2" in data:
-                self.adaptive = self._place_adaptive(AdaptiveState(**{
-                    k: jnp.asarray(data[f"adaptive_{k}"])
-                    for k in AdaptiveState._fields
-                }))
-                self.accum = self.adaptive.mean
-            else:
-                # Plain checkpoint into an adaptive renderer: adopt the
-                # accumulation as the mean with a uniform count and no
-                # variance history (pixels resume sampling until their
-                # fresh estimates converge).
                 self.adaptive = self._place_adaptive(AdaptiveState(
                     mean=jnp.asarray(data["accum"]),
-                    m2=jnp.zeros((self.config.num_pixels,), jnp.float32),
+                    m2=jnp.asarray(data["adaptive_m2"]),
+                    count=jnp.asarray(data["adaptive_count"]),
+                ))
+            else:
+                # Plain checkpoint into an adaptive renderer: the
+                # accumulation resumes (uniform per-pixel count) but there
+                # is NO variance history — m2=0 would declare every pixel
+                # converged instantly and freeze the render, so seed
+                # m2=+inf: pixels keep sampling (adaptive never retires
+                # anything for this resumed render) and the image keeps
+                # improving like a plain one.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "resuming a non-adaptive checkpoint with adaptive "
+                    "sampling: no variance history, convergence detection "
+                    "disabled for this render"
+                )
+                self.adaptive = self._place_adaptive(AdaptiveState(
+                    mean=jnp.asarray(data["accum"]),
+                    m2=jnp.full((self.config.num_pixels,), jnp.inf,
+                                jnp.float32),
                     count=jnp.full((self.config.num_pixels,),
                                    int(data["frame"]), jnp.uint32),
                 ))

@@ -28,6 +28,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from raytracer_tpu.integrator.wavefront import (
+    accumulate,
     luminance_rec709,
     render_wavefront,
 )
@@ -76,14 +77,10 @@ def render_frame_adaptive(scene, camera_ubo, state: AdaptiveState,
         pixel_start=pixel_start, num_pixels=num_pixels, active=active,
     )
 
-    # Running mean, exactly wavefront.accumulate's formula per pixel
-    # (count plays the role of the global frame index).
-    a = 1.0 / (state.count.astype(jnp.float32) + 1.0)
-    blended = jnp.where(
-        (state.count == 0)[:, None],
-        radiance,
-        state.mean + (radiance - state.mean) * a[:, None],
-    )
+    # Running mean: THE accumulation formula (wavefront.accumulate), with
+    # each pixel's count as its own frame index; inactive lanes keep their
+    # mean (their radiance is garbage by contract).
+    blended = accumulate(state.mean, radiance, state.count)
     mean_new = jnp.where(active[:, None], blended, state.mean)
 
     # Welford m2 over luminance (luminance is linear, so the luminance of

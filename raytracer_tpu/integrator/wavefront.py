@@ -988,7 +988,9 @@ def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
         # compaction (SURVEY.md §5 pixels x bounces scaling).
         carry = (state, jnp.int32(0), jnp.int32(0))
         for depth in range(cfg.max_depth):
-            if cfg.accel == "pallas" and depth > 0:
+            # Depth 0 sorts too under an active mask (same reason as the
+            # fori_loop path: coalesce retired lanes into one-pop groups).
+            if cfg.accel == "pallas" and (depth > 0 or active is not None):
                 st = _sort_wavefront(carry[0], scene)
                 carry = (st, carry[1], carry[2])
             k = _compact_prefix(n, depth, cfg)
@@ -1038,14 +1040,18 @@ def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
 def accumulate(accum, radiance, frame_number):
     """The progressive running mean (simple.rgen:127-136): frame 0 stores,
     later frames blend with weight 1/(frame+1). The ONE accumulation formula
-    — wavefront, ReSTIR and sharded paths all share it."""
+    — wavefront, ReSTIR, sharded and adaptive paths all share it.
+
+    `frame_number` may be a per-pixel u32[N] vector (adaptive sampling:
+    each pixel blends at its own count) — the scalar form broadcasts to
+    exactly the same per-element arithmetic."""
     frame_f = jnp.asarray(frame_number, jnp.float32)
     a = 1.0 / (frame_f + 1.0)
-    return jnp.where(
-        jnp.asarray(frame_number, jnp.uint32) == 0,
-        radiance,
-        accum + (radiance - accum) * a,
-    )
+    first = jnp.asarray(frame_number, jnp.uint32) == 0
+    if frame_f.ndim == 1:
+        a = a[:, None]
+        first = first[:, None]
+    return jnp.where(first, radiance, accum + (radiance - accum) * a)
 
 
 def render_frame(scene, camera_ubo, accum, frame_number, cfg: RenderConfig):

@@ -107,6 +107,39 @@ def test_renderer_adaptive_quality_and_checkpoint(tmp_path):
         )
 
 
+def test_plain_checkpoint_into_adaptive_keeps_sampling(tmp_path):
+    """Resuming a NON-adaptive checkpoint with adaptive sampling has no
+    variance history: m2=0 would instantly mark every pixel converged and
+    freeze the render; instead nothing may retire (m2 seeds to +inf) and
+    the accumulation must keep improving."""
+    ck = str(tmp_path / "plain.npz")
+    cfg_p = RenderConfig(width=8, height=8, accel="bvh")
+    rp = ProgressiveRenderer(create_cornell_box(), config=cfg_p)
+    for _ in range(9):  # past adaptive_min_frames
+        rp.step()
+    rp.save_checkpoint(ck)
+
+    cfg_a = RenderConfig(width=8, height=8, accel="bvh", adaptive_tol=0.5)
+    ra = ProgressiveRenderer(create_cornell_box(), config=cfg_a)
+    ra.load_checkpoint(ck)
+    assert ra.adaptive_converged_fraction() == 0.0
+    before = np.asarray(ra.adaptive.count).copy()
+    ra.step()
+    assert (np.asarray(ra.adaptive.count) == before + 1).all()
+    assert ra.adaptive_converged_fraction() == 0.0  # still no history
+
+
+def test_adaptive_checkpoint_stores_image_once(tmp_path):
+    cfg = RenderConfig(width=8, height=8, accel="bvh", adaptive_tol=0.1)
+    r = ProgressiveRenderer(create_cornell_box(), config=cfg)
+    r.step()
+    ck = str(tmp_path / "a.npz")
+    r.save_checkpoint(ck)
+    keys = set(np.load(ck).keys())
+    assert "adaptive_mean" not in keys  # the mean IS accum
+    assert {"accum", "adaptive_m2", "adaptive_count"} <= keys
+
+
 def test_adaptive_resets_with_accumulation():
     """Camera/scene invalidation must restart the Welford state along with
     the accumulation (stale variance would freeze pixels against the OLD

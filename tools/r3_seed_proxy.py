@@ -176,8 +176,6 @@ def main():
           f"leaf {lv0.mean():.0f} total {(iv0 + lv0).mean():.0f}", flush=True)
 
     # Seeded union sim: same walk, initial best_t = seed.
-    import tools.r3_union_proxy as up
-
     def union_sim_seeded(init_t):
         nm = qnodes[:, :24].reshape(-1, 4, 6)
         cmin, cmax = nm[:, :, 0:3], nm[:, :, 3:6]
@@ -232,7 +230,6 @@ def main():
     print(f"seeded:   union visits/group internal {iv1.mean():.0f} "
           f"leaf {lv1.mean():.0f} total {(iv1 + lv1).mean():.0f} "
           f"({(iv1 + lv1).mean() / (iv0 + lv0).mean():.2f}x)", flush=True)
-    del up
 
 
 if __name__ == "__main__":
