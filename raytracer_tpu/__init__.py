@@ -13,7 +13,8 @@ Layer map (mirrors SURVEY.md §7):
   accel/       LBVH / binned-SAH BVH build (numpy + native C++), flattening
   ops/         rng (TEA-16 + LCG), math3d, brdf (GGX), camera, intersect,
                traverse — the device-algorithm layer (reference shaders/)
-  integrator/  wavefront bounce loop, NEE/MIS, accumulation, ReSTIR DI
+  integrator/  wavefront bounce loop, NEE/MIS, accumulation, ReSTIR DI,
+               adaptive sampling, preview denoiser
   parallel/    device-mesh sharding of pixel tiles (shard_map)
   utils/       images (PNG/SSIM), stats, checkpointing
   api.py       render()/ProgressiveRenderer — the public API
