@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import functools
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -32,6 +34,78 @@ WARMUP_FRAMES = 2  # frame 0 pays compile + scene upload; frame 1 catches
 # warmup frame + block_until_ready didn't actually drain the axon queue)
 BENCH_FRAMES = 8
 BASELINE_MRAYS = 200.0
+REPO = os.path.dirname(os.path.abspath(__file__))
+LOCAL_RECORD = os.path.join(REPO, "BENCH_LOCAL.json")
+
+# TPU availability probing: the axon tunnel's outage modes are (a) a
+# backend-init RuntimeError at t=0 and (b) a HANG that no in-process
+# try/except can escape (BENCH_r03.json rc=1, MULTICHIP_r03.json rc=124).
+# So availability is only ever tested in a killable subprocess, and the
+# parent process touches no jax device until a probe has succeeded.
+PROBE_DEADLINE_S = int(os.environ.get("RAYTRACER_TPU_PROBE_DEADLINE_S", 120))
+PROBE_WINDOW_S = int(os.environ.get("RAYTRACER_TPU_PROBE_WINDOW_S", 900))
+PROBE_INTERVAL_S = int(os.environ.get("RAYTRACER_TPU_PROBE_INTERVAL_S", 120))
+
+
+def probe_tpu(deadline_s: int = PROBE_DEADLINE_S) -> dict:
+    """One bounded device-availability probe in a killable subprocess.
+    Returns {"ok": bool, "mode": "ok"|"timeout"|"error", ...}."""
+    code = (
+        "import jax, json; "
+        "print('PROBE_OK ' + json.dumps([str(d) for d in jax.devices()]))"
+    )
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=deadline_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "mode": "timeout", "deadline_s": deadline_s}
+    dt = round(time.perf_counter() - t0, 1)
+    for line in proc.stdout.splitlines():
+        if line.startswith("PROBE_OK "):
+            return {"ok": True, "mode": "ok", "t_s": dt,
+                    "devices": json.loads(line[len("PROBE_OK "):])}
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+    return {"ok": False, "mode": "error", "rc": proc.returncode, "t_s": dt,
+            "detail": " | ".join(tail[-3:])[:500]}
+
+
+def wait_for_tpu(window_s: int = PROBE_WINDOW_S,
+                 interval_s: int = PROBE_INTERVAL_S) -> dict:
+    """Probe until a success or the retry window closes. Returns the last
+    probe result plus attempt history."""
+    t0 = time.perf_counter()
+    attempts = []
+    while True:
+        p = probe_tpu()
+        attempts.append(p.get("mode"))
+        p["attempts"] = attempts
+        p["waited_s"] = round(time.perf_counter() - t0, 1)
+        if p["ok"] or p["waited_s"] + interval_s > window_s:
+            return p
+        log(f"TPU unavailable ({p['mode']}); retrying in {interval_s}s "
+            f"({p['waited_s']:.0f}/{window_s}s of retry window used)")
+        time.sleep(interval_s)
+
+
+def append_local_record(record: dict) -> None:
+    """Append a timestamped entry to BENCH_LOCAL.json (a JSON array) so
+    every number quoted in README/ARCHITECTURE traces to a committed
+    artifact even when the driver's capture window misses (VERDICT r3 #5)."""
+    record = dict(record)
+    record["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    try:
+        with open(LOCAL_RECORD) as f:
+            entries = json.load(f)
+        assert isinstance(entries, list)
+    except (OSError, ValueError, AssertionError):
+        entries = []
+    entries.append(record)
+    with open(LOCAL_RECORD, "w") as f:
+        json.dump(entries, f, indent=1)
+    log(f"appended record #{len(entries)} to {LOCAL_RECORD}")
 
 
 def log(msg):
@@ -282,6 +356,61 @@ def restir_datapoint(ds, ubo):
     return out
 
 
+def give_up(probe: dict) -> None:
+    """TPU never became reachable inside the retry window: emit ONE
+    structured, parseable JSON line (the driver records stdout verbatim —
+    round 3 crashed with a raw traceback and the round's artifact was
+    unparseable) plus the probe diagnostics on stderr."""
+    result = {
+        "metric": "mrays_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "Mrays/s",
+        "vs_baseline": 0.0,
+        "error": "tpu_unavailable",
+        "probe": {k: probe.get(k) for k in
+                  ("mode", "rc", "detail", "attempts", "waited_s")},
+    }
+    # Point at the last banked measurement so a red round still references
+    # the most recent real number.
+    try:
+        with open(LOCAL_RECORD) as f:
+            entries = json.load(f)
+        last_ok = [e for e in entries if not e.get("error")][-1]
+        result["last_recorded"] = {
+            "timestamp": last_ok.get("timestamp"),
+            "mrays_per_sec": last_ok.get("headline", {}).get("value"),
+        }
+    except (OSError, ValueError, IndexError, KeyError):
+        pass
+    print(json.dumps(result), flush=True)
+    append_local_record({"error": "tpu_unavailable", "probe": result["probe"]})
+
+
+def _probe_gate() -> bool:
+    """True when the bench may proceed to touch devices."""
+    if os.environ.get("RAYTRACER_TPU_SKIP_PROBE") == "1":
+        return True
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return True  # CPU runs (tests) never dial the tunnel
+    probe = wait_for_tpu()
+    if probe["ok"]:
+        log(f"TPU probe ok in {probe.get('t_s')}s: {probe.get('devices')}")
+        return True
+    give_up(probe)
+    return False
+
+
+def safe(label, fn, *args):
+    """Run one secondary datapoint, isolating its failure (a tunnel drop
+    mid-bench must not erase the datapoints already measured)."""
+    try:
+        return fn(*args)
+    except Exception as e:  # noqa: BLE001 — diagnostic isolation by design
+        log(f"WARNING: datapoint {label} failed: {type(e).__name__}: "
+            f"{str(e)[:300]}")
+        return None
+
+
 def main():
     from raytracer_tpu.integrator.wavefront import render_wavefront
     from raytracer_tpu.ops.camera import Camera
@@ -290,8 +419,10 @@ def main():
     from raytracer_tpu.utils.compile_cache import enable_persistent_cache
     from raytracer_tpu.utils.config import RenderConfig
 
+    if not _probe_gate():
+        return
+
     cache_dir = enable_persistent_cache()
-    import os
 
     cache_warm = os.path.isdir(cache_dir) and bool(os.listdir(cache_dir))
 
@@ -381,30 +512,32 @@ def main():
     }
     print(json.dumps(result), flush=True)
 
-    # Second datapoint on a REAL reference scene (the shipped checkout's
-    # only non-trivial .glb; Sponza/white-room .bins are missing blobs).
-    conf = conference_datapoint(step)
+    # Secondary datapoints, each failure-isolated (a tunnel drop mid-bench
+    # keeps every datapoint measured so far). Conference is a REAL reference
+    # scene (the shipped checkout's only non-trivial .glb; Sponza/white-room
+    # .bins are missing blobs).
+    conf = safe("conference", conference_datapoint, step)
     if conf:
         log(json.dumps({"conference_mirror_chairs": conf}))
-    big = atrium_1m_datapoint(step)
+    big = safe("atrium_1m", atrium_1m_datapoint, step)
     if big:
         log(json.dumps({"atrium_1m_multipart": big}))
-    restir = restir_datapoint(ds, ubo)
+    restir = safe("restir", restir_datapoint, ds, ubo)
     if restir:
         log(json.dumps(restir))
-    preview = preview_datapoint(step, ds, ubo)
+    preview = safe("preview", preview_datapoint, step, ds, ubo)
     if preview:
         log(json.dumps({"preview_512x288": preview}))
 
-    import os as _os
-
-    if _os.environ.get("RAYTRACER_TPU_SKIP_SMOKE") != "1":
+    smoke_ok = None
+    if os.environ.get("RAYTRACER_TPU_SKIP_SMOKE") != "1":
         # On-TPU Mosaic regression check: real-kernel hit-identity vs the
         # XLA walk, recorded in TPU_SMOKE.json (tools/tpu_smoke.py).
-        sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+        sys.path.insert(0, REPO)
         from tools.tpu_smoke import run as smoke_run
 
-        if not smoke_run():
+        smoke_ok = bool(safe("tpu_smoke", smoke_run))
+        if not smoke_ok:
             log("WARNING: TPU kernel smoke FAILED — see TPU_SMOKE.json")
     log(json.dumps({
         "detail": {
@@ -434,6 +567,34 @@ def main():
             "device": str(jax.devices()[0]),
         }
     }))
+
+    # Bank every datapoint to the committed local record (VERDICT r3 #5):
+    # README/ARCHITECTURE numbers must trace to an artifact even when the
+    # driver's capture window misses the round.
+    append_local_record({
+        "headline": result,
+        "detail": {
+            "scene": "procedural_atrium",
+            "triangles": scene.num_triangles,
+            "resolution": f"{WIDTH}x{HEIGHT}",
+            "frame_times_s": [round(t, 2) for t in frame_times],
+            "ms_per_frame": round(1e3 * elapsed / BENCH_FRAMES, 1),
+            "outlier_frames": headline_outlier,
+            "session_init_s": round(session_init_s, 2),
+            "bake_s": round(bake_s, 2),
+            "trace_lower_s": round(lower_s, 2),
+            "xla_compile_s": round(xla_compile_s, 2),
+            "persistent_cache_hit": cache_hit,
+            "warmup_s": round(compile_s, 2),
+            "cache_warm": cache_warm,
+            "device": str(jax.devices()[0]),
+        },
+        "conference_mirror_chairs": conf,
+        "atrium_1m_multipart": big,
+        "restir": restir,
+        "preview_512x288": preview,
+        "tpu_smoke_ok": smoke_ok,
+    })
 
 
 if __name__ == "__main__":

@@ -65,3 +65,98 @@ def test_drain_forces_scalar():
     bench = _bench()
     v = bench.drain(jnp.asarray(np.ones((8, 3), np.float32)))
     assert v == 24.0
+
+
+def test_probe_gate_skips_on_cpu_platform(monkeypatch):
+    # The test env pins JAX_PLATFORMS=cpu (conftest), so the gate must pass
+    # without spawning any probe subprocess.
+    bench = _bench()
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+
+    def boom(*a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("probe must not run on a CPU backend")
+
+    monkeypatch.setattr(bench, "wait_for_tpu", boom)
+    assert bench._probe_gate() is True
+
+
+def test_probe_tpu_bounded_against_hang(monkeypatch):
+    # Simulate the outage hang mode (MULTICHIP_r03 rc=124): the probe child
+    # sleeps forever; the parent must return mode=timeout within deadline.
+    bench = _bench()
+    monkeypatch.setattr(
+        bench.sys, "executable", bench.sys.executable, raising=True)
+    real_run = bench.subprocess.run
+
+    def fake_run(cmd, **kw):
+        return real_run(
+            [bench.sys.executable, "-c", "import time; time.sleep(60)"],
+            **kw)
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    t0 = time.perf_counter()
+    p = bench.probe_tpu(deadline_s=1)
+    assert p == {"ok": False, "mode": "timeout", "deadline_s": 1}
+    assert time.perf_counter() - t0 < 10
+
+
+def test_wait_for_tpu_gives_up_within_window(monkeypatch):
+    bench = _bench()
+    calls = []
+
+    def fake_probe(*a, **k):
+        calls.append(1)
+        return {"ok": False, "mode": "error", "rc": 1, "detail": "down"}
+
+    monkeypatch.setattr(bench, "probe_tpu", fake_probe)
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    p = bench.wait_for_tpu(window_s=1, interval_s=100)
+    assert p["ok"] is False and len(calls) == 1  # window too small to retry
+    assert p["attempts"] == ["error"]
+
+
+def test_give_up_line_parses_and_banks(monkeypatch, tmp_path, capsys):
+    import json
+
+    bench = _bench()
+    monkeypatch.setattr(bench, "LOCAL_RECORD", str(tmp_path / "b.json"))
+    bench.give_up({"ok": False, "mode": "timeout", "attempts": ["timeout"],
+                   "waited_s": 120.0})
+    line = capsys.readouterr().out.strip()
+    d = json.loads(line)
+    # The driver's BENCH_r{N}.json must always parse: the give-up line keeps
+    # the exact headline schema with value 0.
+    assert d["metric"] == "mrays_per_sec_per_chip"
+    assert d["value"] == 0.0 and d["vs_baseline"] == 0.0
+    assert d["error"] == "tpu_unavailable"
+    assert d["probe"]["mode"] == "timeout"
+    rec = json.load(open(tmp_path / "b.json"))
+    assert rec[0]["error"] == "tpu_unavailable" and rec[0]["timestamp"]
+
+
+def test_append_local_record_accumulates(monkeypatch, tmp_path):
+    import json
+
+    bench = _bench()
+    monkeypatch.setattr(bench, "LOCAL_RECORD", str(tmp_path / "b.json"))
+    bench.append_local_record({"headline": {"value": 3.7}})
+    bench.append_local_record({"headline": {"value": 4.0}})
+    rec = json.load(open(tmp_path / "b.json"))
+    assert [e["headline"]["value"] for e in rec] == [3.7, 4.0]
+    assert all(e["timestamp"] for e in rec)
+    # A corrupt record never blocks banking a new measurement.
+    (tmp_path / "b.json").write_text("{corrupt")
+    bench.append_local_record({"headline": {"value": 4.1}})
+    rec = json.load(open(tmp_path / "b.json"))
+    assert len(rec) == 1 and rec[0]["headline"]["value"] == 4.1
+
+
+def test_safe_isolates_datapoint_failure():
+    bench = _bench()
+
+    def bad():
+        raise RuntimeError("tunnel dropped")
+
+    assert bench.safe("x", bad) is None
+    assert bench.safe("y", lambda a, b: a + b, 2, 3) == 5
