@@ -39,7 +39,9 @@ QUEUE = [
       "--assert-interactive"], 2400),
     ("adaptive_lab",
      [sys.executable, "-u", "tools/r3_adaptive_lab.py"], 3600),
-    ("grid_lab", [sys.executable, "-u", "tools/r4_grid_lab.py"], 3600),
+    # The grid/DDA question was decided on CPU alone (tools/r4_grid_proxy.py,
+    # GRID_LAB.json: 8.5-18x the BVH's row iterations — negative without a
+    # TPU microbench), so no grid step is queued here.
 ]
 
 
