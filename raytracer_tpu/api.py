@@ -55,6 +55,14 @@ def _render_frame_restir_jit(scene, camera_ubo, accum, reservoir,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _preview_radiance_jit(scene, camera_ubo, frame_number, cfg):
+    """One raw radiance sample (no accumulation) — the preview-scale path."""
+    from raytracer_tpu.integrator.wavefront import render_wavefront
+
+    return render_wavefront(scene, camera_ubo, frame_number, cfg)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
 def _render_frame_adaptive_jit(scene, camera_ubo, state, cfg):
     from raytracer_tpu.integrator.adaptive import render_frame_adaptive
@@ -139,6 +147,7 @@ class ProgressiveRenderer:
         self.frame = 0
         self._camera_ubo_dev = None
         self._gbuffer = None  # denoiser G-buffer cache (camera/scene-keyed)
+        self._preview_gbuffers = {}  # per-preview-resolution G-buffer cache
         self.reservoir = None
         if self.config.use_restir:
             from raytracer_tpu.integrator.restir import Reservoir
@@ -270,7 +279,9 @@ class ProgressiveRenderer:
         if scene_changed or self.camera.dirty:
             self.reset_accumulation()
         if scene_changed:
-            self._gbuffer = None  # edits can move geometry / change albedo
+            # Edits can move geometry / change albedo.
+            self._gbuffer = None
+            self._preview_gbuffers = {}
         if self.camera.dirty or self._camera_ubo_dev is None:
             mats = self.camera.matrices()
             self._camera_ubo_dev = {
@@ -279,6 +290,7 @@ class ProgressiveRenderer:
             }
             self.camera.clear_dirty()
             self._gbuffer = None
+            self._preview_gbuffers = {}
 
     def reset_accumulation(self):
         self.accum = self._place_accum(
@@ -423,6 +435,104 @@ class ProgressiveRenderer:
                 iterations=self.config.denoise_iterations,
             ))
         return arr.reshape(self.config.height, self.config.width, 3)
+
+    def _ensure_camera_ubo(self):
+        if self._camera_ubo_dev is None:
+            mats = self.camera.matrices()
+            self._camera_ubo_dev = {
+                "inverse_view": jnp.asarray(mats["inverse_view"]),
+                "inverse_proj": jnp.asarray(mats["inverse_proj"]),
+            }
+        return self._camera_ubo_dev
+
+    def preview_image(self, scale: int = 4,
+                      denoise: Optional[bool] = None) -> np.ndarray:
+        """Low-latency preview frame f32[H,W,3]: trace ONE fresh sample at
+        1/scale resolution with the current camera/scene, optionally run the
+        edge-aware a-trous filter at that resolution, and bilinearly upscale
+        to the full (height, width).
+
+        This is a side-channel render for interactive cadence — the
+        accumulation buffer, frame counter, and ReSTIR/adaptive state are
+        all untouched (the reference shows its raw accumulating viewport,
+        ui.odin:491-571; here a 1080p preview at scale 4 traces 1/16 of the
+        rays, which is what makes a denoised 1080p edit loop interactive on
+        one chip). The sample uses the CURRENT frame index's RNG streams:
+        repeated calls between steps are deterministic, successive frames
+        decorrelate."""
+        use_denoise = (self.config.denoise_preview if denoise is None
+                       else denoise)
+        s = max(int(scale), 1)
+        pw = max(self.config.width // s, 1)
+        ph = max(self.config.height // s, 1)
+        # Plain wavefront at preview resolution: ReSTIR/adaptive are
+        # accumulation-state features, meaningless for a throwaway sample.
+        cfg_p = self.config.replace(
+            width=pw, height=ph, use_restir=False, adaptive_tol=0.0,
+        ).resolve_accel()
+        ubo = self._ensure_camera_ubo()
+        frame = jnp.uint32(self.frame)
+        if self.mesh is not None:
+            from raytracer_tpu.parallel.sharding import (
+                render_radiance_sharded,
+                replicate,
+            )
+
+            if cfg_p.num_pixels % self.mesh.size != 0:
+                raise ValueError(
+                    f"preview {pw}x{ph} does not tile over "
+                    f"{self.mesh.size} devices; pick a scale whose "
+                    "preview height divides the mesh"
+                )
+            ubo = replicate(ubo, self.mesh)
+            rad = render_radiance_sharded(
+                self.device_scene, ubo, frame, cfg_p, self.mesh
+            )
+        else:
+            rad = _preview_radiance_jit(
+                self.device_scene, ubo, frame, cfg_p
+            )
+        if use_denoise:
+            from raytracer_tpu.integrator.denoise import (
+                atrous_denoise, gbuffer_pass,
+            )
+
+            gb = self._preview_gbuffers.get((pw, ph))
+            if gb is None:
+                if self.mesh is not None:
+                    from raytracer_tpu.parallel.sharding import (
+                        gbuffer_sharded,
+                    )
+
+                    gb = gbuffer_sharded(
+                        self.device_scene, ubo, cfg_p, self.mesh
+                    )
+                else:
+                    gb = gbuffer_pass(self.device_scene, ubo, cfg_p)
+                self._preview_gbuffers[(pw, ph)] = gb
+            nrm, depth, albedo = gb
+            if self.mesh is not None:
+                # The a-trous filter couples neighboring rows; gather the
+                # (small) preview tiles and filter on one device.
+                rad, nrm, depth, albedo = (
+                    jnp.asarray(np.asarray(a))
+                    for a in (rad, nrm, depth, albedo)
+                )
+            rad = atrous_denoise(
+                rad, nrm, depth, albedo, ph, pw,
+                iterations=self.config.denoise_iterations,
+            )
+        elif self.mesh is not None:
+            rad = jnp.asarray(np.asarray(rad))
+        if (pw, ph) != (self.config.width, self.config.height):
+            from raytracer_tpu.integrator.denoise import upscale_bilinear
+
+            rad = upscale_bilinear(
+                rad, ph, pw, self.config.height, self.config.width
+            )
+        return np.asarray(rad).reshape(
+            self.config.height, self.config.width, 3
+        )
 
     # -- checkpoint / resume ---------------------------------------------
     def save_checkpoint(self, path: str):

@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "every N frames while accumulating — the headless "
                         "analog of the reference's live viewport "
                         "(ui.odin:491-571)")
+    p.add_argument("--preview-scale", type=int, default=1, metavar="K",
+                   help="with --preview: write previews from a fresh 1/K-"
+                        "resolution sample (denoised per --denoise, "
+                        "bilinearly upscaled to the output size) instead of "
+                        "reading back the full accumulation — a 1080p edit "
+                        "loop at K=4 traces 1/16 of the rays per preview")
     p.add_argument("--stats-every", type=int, default=0, metavar="N",
                    help="print the stats table every N frames (the ImGui "
                         "Performance-window analog)")
@@ -123,7 +129,11 @@ def main(argv=None) -> int:
         if args.stats_every and (i + 1) % args.stats_every == 0:
             print(stats.format_table())
         if args.preview and (i + 1) % args.preview == 0:
-            write_image(args.out, renderer.image())
+            if args.preview_scale > 1:
+                write_image(args.out,
+                            renderer.preview_image(args.preview_scale))
+            else:
+                write_image(args.out, renderer.image())
             print(stats.format_table())
             log.info("preview updated: %s (%d spp)", args.out,
                      renderer.frame)

@@ -38,19 +38,22 @@ from raytracer_tpu.utils.config import RenderConfig
 MISS_DEPTH = 1e30
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def gbuffer_pass(scene, camera_ubo, cfg: RenderConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "num_pixels"))
+def gbuffer_pass(scene, camera_ubo, cfg: RenderConfig,
+                 pixel_start=0, num_pixels=None):
     """Primary-hit G-buffer for the denoiser: (normal [N,3], depth [N],
     albedo [N,3]). Center rays (the frame-0 jitter), full resolution.
     Miss lanes: normal 0, depth MISS_DEPTH, albedo 1 (demodulation
-    no-ops so the background passes through the filter unchanged)."""
+    no-ops so the background passes through the filter unchanged).
+    `pixel_start`/`num_pixels` carve out a tile for multi-chip sharding
+    (parallel/sharding.py:gbuffer_sharded), like render_wavefront."""
     from raytracer_tpu.integrator.wavefront import (
         _camera_rays, _trace, fetch_surface,
     )
 
     cfg = cfg.resolve_accel()
-    n = cfg.num_pixels
-    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+    n = cfg.num_pixels if num_pixels is None else num_pixels
+    pixel_idx = jnp.uint32(pixel_start) + jnp.arange(n, dtype=jnp.uint32)
     jitter = jnp.full((n, 2), 0.5, jnp.float32)
     origin, direction = _camera_rays(
         camera_ubo["inverse_view"], camera_ubo["inverse_proj"],
@@ -148,4 +151,18 @@ def atrous_denoise(img, normal, depth, albedo, height, width,
         s = acc / jnp.maximum(wsum, 1e-8)
 
     out = s * alb  # remodulate
+    return out.reshape(-1, 3)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "out_h", "out_w")
+)
+def upscale_bilinear(img, h, w, out_h, out_w):
+    """Bilinear upscale of a flat [h*w, 3] linear-radiance image to
+    [out_h*out_w, 3] — the preview-scale path (api.preview_image): trace at
+    1/k resolution, filter, then upscale to the display size. Static
+    shapes; XLA lowers jax.image.resize to fused gather/matmul work."""
+    out = jax.image.resize(
+        img.reshape(h, w, 3), (out_h, out_w, 3), method="bilinear"
+    )
     return out.reshape(-1, 3)

@@ -134,6 +134,71 @@ def render_frame_restir_sharded(scene, camera_ubo, accum, reservoir,
     return fn(scene, camera_ubo, accum, reservoir, frame_number)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_radiance_sharded(scene, camera_ubo, frame_number,
+                            cfg: RenderConfig, mesh: Mesh):
+    """One RAW radiance sample (no accumulation) with pixel tiles sharded
+    over `mesh` — the preview path (api.ProgressiveRenderer.preview_image):
+    a preview frame is a throwaway sample, never blended into state.
+    Same global-seed tiling as render_frame_sharded, so the result is
+    bit-identical across mesh sizes (and matches the unsharded
+    render_wavefront to float reassociation, ~1e-9)."""
+    n_dev = mesh.size
+    n = cfg.num_pixels
+    assert n % n_dev == 0, (
+        f"pixel count {n} not divisible by mesh size {n_dev}"
+    )
+    n_local = n // n_dev
+
+    def tile_fn(scene, camera_ubo, frame_number):
+        tile = jax.lax.axis_index(AXIS)
+        start = tile.astype(jnp.uint32) * jnp.uint32(n_local)
+        return render_wavefront(
+            scene, camera_ubo, frame_number, cfg,
+            pixel_start=start, num_pixels=n_local,
+        )
+
+    fn = shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(AXIS, None),
+        check_vma=False,
+    )
+    return fn(scene, camera_ubo, frame_number)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def gbuffer_sharded(scene, camera_ubo, cfg: RenderConfig, mesh: Mesh):
+    """Denoiser G-buffer (normal, depth, albedo) with pixel tiles sharded
+    over `mesh` — one coherent primary trace, zero collectives."""
+    from raytracer_tpu.integrator.denoise import gbuffer_pass
+
+    n_dev = mesh.size
+    n = cfg.num_pixels
+    assert n % n_dev == 0, (
+        f"pixel count {n} not divisible by mesh size {n_dev}"
+    )
+    n_local = n // n_dev
+
+    def tile_fn(scene, camera_ubo):
+        tile = jax.lax.axis_index(AXIS)
+        start = tile.astype(jnp.uint32) * jnp.uint32(n_local)
+        return gbuffer_pass(
+            scene, camera_ubo, cfg,
+            pixel_start=start, num_pixels=n_local,
+        )
+
+    fn = shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(AXIS, None), P(AXIS), P(AXIS, None)),
+        check_vma=False,
+    )
+    return fn(scene, camera_ubo)
+
+
 def shard_adaptive(state, mesh: Mesh):
     """Place an AdaptiveState sharded over its pixel dim (trailing dims
     replicated — P(AXIS) is a prefix spec, like shard_reservoir)."""

