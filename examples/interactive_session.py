@@ -170,6 +170,21 @@ def main():
     print(f"denoised preview readback (warm): "
           f"{(time.perf_counter()-t0)*1e3:7.1f} ms", flush=True)
 
+    # Scaled preview cadence (api.preview_image): trace at 1/4 resolution,
+    # denoise, upscale — with --1080p this is THE denoised-1080p-edit-loop
+    # number (1/16 of the rays per preview). First call compiles; warm
+    # repeats are the cadence.
+    r.preview_image(scale=4)
+    pt = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        r.preview_image(scale=4)
+        pt.append(time.perf_counter() - t0)
+    print(f"preview_image(scale=4, denoised) cadence: "
+          f"{1e3 * min(pt):.1f} ms best / {1e3 * float(np.median(pt)):.1f} "
+          f"ms median ({1.0 / float(np.median(pt)):.1f} fps at {w}x{h})",
+          flush=True)
+
     worst = max(latencies.values())
     print(f"worst edit latency (object_add included): {worst*1e3:.1f} ms "
           f"(object_add: {latencies['object_add']*1e3:.1f} ms)", flush=True)

@@ -37,6 +37,9 @@ QUEUE = [
     ("interactive_gate",
      [sys.executable, "-u", "examples/interactive_session.py",
       "--assert-interactive"], 2400),
+    ("interactive_1080p",
+     [sys.executable, "-u", "examples/interactive_session.py",
+      "--1080p"], 2400),
     ("adaptive_lab",
      [sys.executable, "-u", "tools/r3_adaptive_lab.py"], 3600),
     # The grid/DDA question was decided on CPU alone (tools/r4_grid_proxy.py,
