@@ -72,7 +72,8 @@ def probe() -> dict:
 
 
 def run_step(name, cmd, timeout_s) -> dict:
-    if not os.path.exists(os.path.join(REPO, cmd[2])):
+    if cmd[2].endswith(".py") and not os.path.exists(
+            os.path.join(REPO, cmd[2])):
         return {"skipped": "script not present"}
     log(f"step {name}: {' '.join(cmd[1:])}")
     t0 = time.perf_counter()
