@@ -49,7 +49,10 @@ PROBE_INTERVAL_S = int(os.environ.get("RAYTRACER_TPU_PROBE_INTERVAL_S", 120))
 
 def probe_tpu(deadline_s: int = PROBE_DEADLINE_S) -> dict:
     """One bounded device-availability probe in a killable subprocess.
-    Returns {"ok": bool, "mode": "ok"|"timeout"|"error", ...}."""
+    Returns {"ok": bool, "mode": "ok"|"timeout"|"error"|"cpu_fallback",
+    ...}. A TPU device must actually be present: jax silently falling back
+    to the CPU backend (plugin import failure, PALLAS_AXON_POOL_IPS absent
+    from a cron env) must NOT let the bench record CPU rates as real."""
     code = (
         "import jax, json; "
         "print('PROBE_OK ' + json.dumps([str(d) for d in jax.devices()]))"
@@ -65,8 +68,11 @@ def probe_tpu(deadline_s: int = PROBE_DEADLINE_S) -> dict:
     dt = round(time.perf_counter() - t0, 1)
     for line in proc.stdout.splitlines():
         if line.startswith("PROBE_OK "):
-            return {"ok": True, "mode": "ok", "t_s": dt,
-                    "devices": json.loads(line[len("PROBE_OK "):])}
+            devices = json.loads(line[len("PROBE_OK "):])
+            if not any("tpu" in d.lower() for d in devices):
+                return {"ok": False, "mode": "cpu_fallback", "t_s": dt,
+                        "devices": devices}
+            return {"ok": True, "mode": "ok", "t_s": dt, "devices": devices}
     tail = (proc.stderr or proc.stdout or "").strip().splitlines()
     return {"ok": False, "mode": "error", "rc": proc.returncode, "t_s": dt,
             "detail": " | ".join(tail[-3:])[:500]}
@@ -93,18 +99,30 @@ def wait_for_tpu(window_s: int = PROBE_WINDOW_S,
 def append_local_record(record: dict) -> None:
     """Append a timestamped entry to BENCH_LOCAL.json (a JSON array) so
     every number quoted in README/ARCHITECTURE traces to a committed
-    artifact even when the driver's capture window misses (VERDICT r3 #5)."""
+    artifact even when the driver's capture window misses (VERDICT r3 #5).
+
+    Concurrency-safe: the driver's capture-window bench and the
+    fire-on-return pipeline (tools/bank_on_return.py) can both run bench
+    around a tunnel recovery, so the read-modify-write holds an exclusive
+    flock and lands via an atomic os.replace (a reader never sees a
+    truncated file, a concurrent writer never erases a banked record)."""
+    import fcntl
+
     record = dict(record)
     record["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
-    try:
-        with open(LOCAL_RECORD) as f:
-            entries = json.load(f)
-        assert isinstance(entries, list)
-    except (OSError, ValueError, AssertionError):
-        entries = []
-    entries.append(record)
-    with open(LOCAL_RECORD, "w") as f:
-        json.dump(entries, f, indent=1)
+    with open(LOCAL_RECORD + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            with open(LOCAL_RECORD) as f:
+                entries = json.load(f)
+            assert isinstance(entries, list)
+        except (OSError, ValueError, AssertionError):
+            entries = []
+        entries.append(record)
+        tmp = LOCAL_RECORD + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f, indent=1)
+        os.replace(tmp, LOCAL_RECORD)
     log(f"appended record #{len(entries)} to {LOCAL_RECORD}")
 
 
@@ -539,56 +557,42 @@ def main():
         smoke_ok = bool(safe("tpu_smoke", smoke_run))
         if not smoke_ok:
             log("WARNING: TPU kernel smoke FAILED — see TPU_SMOKE.json")
-    log(json.dumps({
-        "detail": {
-            "scene": "procedural_atrium",
-            "triangles": scene.num_triangles,
-            "resolution": f"{WIDTH}x{HEIGHT}",
-            "frames": BENCH_FRAMES,
-            "rays": total_rays,
-            "spp_per_sec": round(BENCH_FRAMES / elapsed, 3),
-            "ms_per_frame": round(1e3 * elapsed / BENCH_FRAMES, 1),
-            "frame_times_s": [round(t, 2) for t in frame_times],
-            "median_frame_s": round(float(np.median(ft)), 2),
-            "outlier_frames": headline_outlier,
-            "session_init_s": round(session_init_s, 2),
-            "bake_s": round(bake_s, 2),
-            # Warm-start decomposition: xla_compile_s is the compile the
-            # persistent cache eliminates (~1 s warm vs ~25 s cold);
-            # trace_lower_s is per-process Python/StableHLO work; warmup_s
-            # (the 2 warmup frames) additionally pays jit re-trace, scene
-            # upload and the tunnel's first-readback stall.
-            "trace_lower_s": round(lower_s, 2),
-            "xla_compile_s": round(xla_compile_s, 2),
-            "persistent_cache_hit": cache_hit,
-            "warmup_s": round(compile_s, 2),
-            "cache_warm": cache_warm,
-            "mean_radiance": float(np.asarray(rad).mean()),
-            "device": str(jax.devices()[0]),
-        }
-    }))
+    # ONE detail dict feeds both the log line and the banked record, so
+    # the two artifacts can never silently diverge field-by-field.
+    detail = {
+        "scene": "procedural_atrium",
+        "triangles": scene.num_triangles,
+        "resolution": f"{WIDTH}x{HEIGHT}",
+        "frames": BENCH_FRAMES,
+        "rays": total_rays,
+        "spp_per_sec": round(BENCH_FRAMES / elapsed, 3),
+        "ms_per_frame": round(1e3 * elapsed / BENCH_FRAMES, 1),
+        "frame_times_s": [round(t, 2) for t in frame_times],
+        "median_frame_s": round(float(np.median(ft)), 2),
+        "outlier_frames": headline_outlier,
+        "session_init_s": round(session_init_s, 2),
+        "bake_s": round(bake_s, 2),
+        # Warm-start decomposition: xla_compile_s is the compile the
+        # persistent cache eliminates (~1 s warm vs ~25 s cold);
+        # trace_lower_s is per-process Python/StableHLO work; warmup_s
+        # (the 2 warmup frames) additionally pays jit re-trace, scene
+        # upload and the tunnel's first-readback stall.
+        "trace_lower_s": round(lower_s, 2),
+        "xla_compile_s": round(xla_compile_s, 2),
+        "persistent_cache_hit": cache_hit,
+        "warmup_s": round(compile_s, 2),
+        "cache_warm": cache_warm,
+        "mean_radiance": float(np.asarray(rad).mean()),
+        "device": str(jax.devices()[0]),
+    }
+    log(json.dumps({"detail": detail}))
 
     # Bank every datapoint to the committed local record (VERDICT r3 #5):
     # README/ARCHITECTURE numbers must trace to an artifact even when the
     # driver's capture window misses the round.
     append_local_record({
         "headline": result,
-        "detail": {
-            "scene": "procedural_atrium",
-            "triangles": scene.num_triangles,
-            "resolution": f"{WIDTH}x{HEIGHT}",
-            "frame_times_s": [round(t, 2) for t in frame_times],
-            "ms_per_frame": round(1e3 * elapsed / BENCH_FRAMES, 1),
-            "outlier_frames": headline_outlier,
-            "session_init_s": round(session_init_s, 2),
-            "bake_s": round(bake_s, 2),
-            "trace_lower_s": round(lower_s, 2),
-            "xla_compile_s": round(xla_compile_s, 2),
-            "persistent_cache_hit": cache_hit,
-            "warmup_s": round(compile_s, 2),
-            "cache_warm": cache_warm,
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
         "conference_mirror_chairs": conf,
         "atrium_1m_multipart": big,
         "restir": restir,

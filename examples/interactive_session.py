@@ -174,11 +174,11 @@ def main():
     # denoise, upscale — with --1080p this is THE denoised-1080p-edit-loop
     # number (1/16 of the rays per preview). First call compiles; warm
     # repeats are the cadence.
-    r.preview_image(scale=4)
+    r.preview_image(scale=4, denoise=True)
     pt = []
     for _ in range(5):
         t0 = time.perf_counter()
-        r.preview_image(scale=4)
+        r.preview_image(scale=4, denoise=True)
         pt.append(time.perf_counter() - t0)
     print(f"preview_image(scale=4, denoised) cadence: "
           f"{1e3 * min(pt):.1f} ms best / {1e3 * float(np.median(pt)):.1f} "

@@ -283,11 +283,7 @@ class ProgressiveRenderer:
             self._gbuffer = None
             self._preview_gbuffers = {}
         if self.camera.dirty or self._camera_ubo_dev is None:
-            mats = self.camera.matrices()
-            self._camera_ubo_dev = {
-                "inverse_view": jnp.asarray(mats["inverse_view"]),
-                "inverse_proj": jnp.asarray(mats["inverse_proj"]),
-            }
+            self._refresh_camera_ubo()
             self.camera.clear_dirty()
             self._gbuffer = None
             self._preview_gbuffers = {}
@@ -414,12 +410,7 @@ class ProgressiveRenderer:
                 atrous_denoise, gbuffer_pass,
             )
 
-            if self._camera_ubo_dev is None:
-                mats = self.camera.matrices()
-                self._camera_ubo_dev = {
-                    "inverse_view": jnp.asarray(mats["inverse_view"]),
-                    "inverse_proj": jnp.asarray(mats["inverse_proj"]),
-                }
+            self._ensure_camera_ubo()
             if self._gbuffer is None:
                 self._gbuffer = gbuffer_pass(
                     self.device_scene, self._camera_ubo_dev, self.config
@@ -436,13 +427,18 @@ class ProgressiveRenderer:
             ))
         return arr.reshape(self.config.height, self.config.width, 3)
 
+    def _refresh_camera_ubo(self):
+        """The ONE place the device camera UBO is built from the camera."""
+        mats = self.camera.matrices()
+        self._camera_ubo_dev = {
+            "inverse_view": jnp.asarray(mats["inverse_view"]),
+            "inverse_proj": jnp.asarray(mats["inverse_proj"]),
+        }
+        return self._camera_ubo_dev
+
     def _ensure_camera_ubo(self):
         if self._camera_ubo_dev is None:
-            mats = self.camera.matrices()
-            self._camera_ubo_dev = {
-                "inverse_view": jnp.asarray(mats["inverse_view"]),
-                "inverse_proj": jnp.asarray(mats["inverse_proj"]),
-            }
+            self._refresh_camera_ubo()
         return self._camera_ubo_dev
 
     def preview_image(self, scale: int = 4,
@@ -452,14 +448,18 @@ class ProgressiveRenderer:
         edge-aware a-trous filter at that resolution, and bilinearly upscale
         to the full (height, width).
 
-        This is a side-channel render for interactive cadence — the
-        accumulation buffer, frame counter, and ReSTIR/adaptive state are
-        all untouched (the reference shows its raw accumulating viewport,
-        ui.odin:491-571; here a 1080p preview at scale 4 traces 1/16 of the
-        rays, which is what makes a denoised 1080p edit loop interactive on
-        one chip). The sample uses the CURRENT frame index's RNG streams:
-        repeated calls between steps are deterministic, successive frames
-        decorrelate."""
+        Pending scene edits and camera changes are applied first (the same
+        begin_frame journal replay a step() would run — so the preview
+        always shows the CURRENT scene/camera, and a dirty camera resets
+        accumulation exactly as the invalidation contract demands). Beyond
+        that the render is a side channel: the accumulation buffer, frame
+        counter, and ReSTIR/adaptive state are untouched (the reference
+        shows its raw accumulating viewport, ui.odin:491-571; here a 1080p
+        preview at scale 4 traces 1/16 of the rays, which is what makes a
+        denoised 1080p edit loop interactive on one chip). The sample uses
+        the CURRENT frame index's RNG streams: repeated calls between
+        steps are deterministic, successive frames decorrelate."""
+        self.begin_frame()
         use_denoise = (self.config.denoise_preview if denoise is None
                        else denoise)
         s = max(int(scale), 1)
@@ -507,17 +507,16 @@ class ProgressiveRenderer:
                     gb = gbuffer_sharded(
                         self.device_scene, ubo, cfg_p, self.mesh
                     )
+                    # The a-trous filter couples neighboring rows: cache
+                    # the G-buffer GATHERED onto one device, so repeat
+                    # previews pay zero extra transfers for it.
+                    gb = tuple(jnp.asarray(np.asarray(a)) for a in gb)
                 else:
                     gb = gbuffer_pass(self.device_scene, ubo, cfg_p)
                 self._preview_gbuffers[(pw, ph)] = gb
             nrm, depth, albedo = gb
             if self.mesh is not None:
-                # The a-trous filter couples neighboring rows; gather the
-                # (small) preview tiles and filter on one device.
-                rad, nrm, depth, albedo = (
-                    jnp.asarray(np.asarray(a))
-                    for a in (rad, nrm, depth, albedo)
-                )
+                rad = jnp.asarray(np.asarray(rad))
             rad = atrous_denoise(
                 rad, nrm, depth, albedo, ph, pw,
                 iterations=self.config.denoise_iterations,
@@ -612,11 +611,7 @@ class ProgressiveRenderer:
         # Materialize the camera UBO now and clear the dirty flag so the
         # next begin_frame() doesn't wipe the restored accumulation (the
         # caller asserts the camera/scene match the checkpointed render).
-        mats = self.camera.matrices()
-        self._camera_ubo_dev = {
-            "inverse_view": jnp.asarray(mats["inverse_view"]),
-            "inverse_proj": jnp.asarray(mats["inverse_proj"]),
-        }
+        self._refresh_camera_ubo()
         self.camera.clear_dirty()
 
 

@@ -25,12 +25,28 @@ def test_probe_bounded_against_hang(monkeypatch):
         return real_run(
             [sys.executable, "-c", "import time; time.sleep(60)"], **kw)
 
-    monkeypatch.setattr(b.subprocess, "run", fake_run)
+    monkeypatch.setattr(subprocess, "run", fake_run)
     monkeypatch.setattr(b, "PROBE_DEADLINE_S", 1)
     t0 = time.perf_counter()
     p = b.probe()
-    assert p == {"ok": False, "mode": "timeout"}
+    assert p["ok"] is False and p["mode"] == "timeout"
     assert time.perf_counter() - t0 < 10
+
+
+def test_probe_rejects_cpu_fallback(monkeypatch):
+    # A CPU-only jax (plugin failure / missing env) must NOT fire the
+    # banking queue — bench.probe_tpu's cpu_fallback mode, shared here.
+    b = _mod()
+    real_run = subprocess.run
+
+    def fake_run(cmd, **kw):
+        return real_run(
+            [sys.executable, "-c",
+             "print('PROBE_OK [\"CpuDevice(id=0)\"]')"], **kw)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    p = b.probe()
+    assert p["ok"] is False and p["mode"] == "cpu_fallback"
 
 
 def test_run_step_skips_missing_script():

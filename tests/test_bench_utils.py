@@ -100,6 +100,31 @@ def test_probe_tpu_bounded_against_hang(monkeypatch):
     assert time.perf_counter() - t0 < 10
 
 
+def test_probe_tpu_rejects_cpu_fallback(monkeypatch):
+    # jax silently falling back to the CPU backend must not pass the gate
+    # (the bench would record CPU rates as a real headline).
+    bench = _bench()
+    real_run = bench.subprocess.run
+
+    def fake_run(cmd, **kw):
+        return real_run(
+            [bench.sys.executable, "-c",
+             "print('PROBE_OK [\"CpuDevice(id=0)\"]')"], **kw)
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    p = bench.probe_tpu(deadline_s=30)
+    assert p["ok"] is False and p["mode"] == "cpu_fallback"
+
+    def fake_run_tpu(cmd, **kw):
+        return real_run(
+            [bench.sys.executable, "-c",
+             "print('PROBE_OK [\"TPU v5 lite0\"]')"], **kw)
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run_tpu)
+    p = bench.probe_tpu(deadline_s=30)
+    assert p["ok"] is True and p["devices"] == ["TPU v5 lite0"]
+
+
 def test_wait_for_tpu_gives_up_within_window(monkeypatch):
     bench = _bench()
     calls = []

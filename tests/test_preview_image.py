@@ -103,6 +103,31 @@ def test_preview_sharded_indivisible_raises():
         r.preview_image(scale=7)
 
 
+def test_preview_reflects_pending_camera_and_scene_edits():
+    """The edit->preview loop must not require an interleaved step():
+    preview_image replays the change journal / camera dirty flag itself
+    (it IS the editor-facing readback)."""
+    import dataclasses
+
+    from raytracer_tpu.ops.camera import Camera
+
+    r = _renderer()
+    a = r.preview_image(scale=2, denoise=False)
+    # Camera move, then preview WITHOUT step(): must show the new view.
+    r.set_camera(Camera.create(position=(0.4, 0.2, -2.5), aspect=1.0))
+    b = r.preview_image(scale=2, denoise=False)
+    assert not np.array_equal(a, b)
+    # Scene edit (repaint every wall emissive off->on would be drastic;
+    # brighten the light instead), then preview WITHOUT step().
+    li = next(i for i, m in enumerate(r.scene.materials)
+              if m.emission_power > 0)
+    m = r.scene.materials[li]
+    r.scene.update_material(
+        li, dataclasses.replace(m, emission_power=m.emission_power * 8))
+    c = r.preview_image(scale=2, denoise=False)
+    assert c.mean() > b.mean() * 1.5  # visibly brighter scene
+
+
 def test_preview_gbuffer_cache_invalidated_on_edit():
     import dataclasses
 

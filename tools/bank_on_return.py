@@ -53,22 +53,13 @@ def log(msg):
 
 
 def probe() -> dict:
-    code = ("import jax, json; "
-            "print('PROBE_OK ' + json.dumps([str(d) for d in "
-            "jax.devices()]))")
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=PROBE_DEADLINE_S,
-        )
-    except subprocess.TimeoutExpired:
-        return {"ok": False, "mode": "timeout"}
-    for line in proc.stdout.splitlines():
-        if line.startswith("PROBE_OK "):
-            return {"ok": True, "devices": json.loads(line[9:])}
-    tail = (proc.stderr or "").strip().splitlines()
-    return {"ok": False, "mode": "error", "rc": proc.returncode,
-            "detail": " | ".join(tail[-2:])[:300]}
+    """bench.py's bounded subprocess probe — ONE implementation (incl. the
+    cpu_fallback rejection: jax silently landing on the CPU backend must
+    not fire a banking run that records CPU rates)."""
+    sys.path.insert(0, REPO)
+    from bench import probe_tpu
+
+    return probe_tpu(deadline_s=PROBE_DEADLINE_S)
 
 
 def run_step(name, cmd, timeout_s) -> dict:
