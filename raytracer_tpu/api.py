@@ -427,6 +427,41 @@ class ProgressiveRenderer:
             ))
         return arr.reshape(self.config.height, self.config.width, 3)
 
+    def aovs(self) -> dict:
+        """Arbitrary-output-variable images for compositing / external
+        denoisers: {"normal": f32[H,W,3], "depth": f32[H,W],
+        "albedo": f32[H,W,3]} from one coherent primary trace (the
+        denoiser's G-buffer, integrator/denoise.py — cached until the
+        camera or scene changes; miss pixels: normal 0, depth
+        denoise.MISS_DEPTH, albedo 1). The reference has no AOV path; its
+        ReSTIR scaffolding sketches the same buffers
+        (shaders/restir.rgen:17-92)."""
+        from raytracer_tpu.integrator.denoise import gbuffer_pass
+
+        self.begin_frame()
+        ubo = self._ensure_camera_ubo()
+        if self._gbuffer is None:
+            if self.mesh is not None:
+                from raytracer_tpu.parallel.sharding import (
+                    gbuffer_sharded, replicate,
+                )
+
+                self._gbuffer = gbuffer_sharded(
+                    self.device_scene, replicate(ubo, self.mesh),
+                    self.config, self.mesh,
+                )
+            else:
+                self._gbuffer = gbuffer_pass(
+                    self.device_scene, ubo, self.config
+                )
+        nrm, depth, albedo = self._gbuffer
+        h, w = self.config.height, self.config.width
+        return {
+            "normal": np.asarray(nrm).reshape(h, w, 3),
+            "depth": np.asarray(depth).reshape(h, w),
+            "albedo": np.asarray(albedo).reshape(h, w, 3),
+        }
+
     def _refresh_camera_ubo(self):
         """The ONE place the device camera UBO is built from the camera."""
         mats = self.camera.matrices()

@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "every N frames while accumulating — the headless "
                         "analog of the reference's live viewport "
                         "(ui.odin:491-571)")
+    p.add_argument("--aovs", default=None, metavar="PREFIX",
+                   help="also write AOV images from one coherent primary "
+                        "trace: PREFIX_albedo/_normal/_depth.png (normal "
+                        "encoded n*0.5+0.5; depth normalized to the scene "
+                        "range) — for compositing or external denoisers")
     p.add_argument("--preview-scale", type=int, default=1, metavar="K",
                    help="with --preview: write previews from a fresh 1/K-"
                         "resolution sample (denoised per --denoise, "
@@ -146,6 +151,21 @@ def main(argv=None) -> int:
     elapsed = time.perf_counter() - start
 
     write_image(args.out, renderer.image())
+    if args.aovs:
+        import numpy as np
+
+        from raytracer_tpu.integrator.denoise import MISS_DEPTH
+
+        aov = renderer.aovs()
+        write_image(f"{args.aovs}_albedo.png", aov["albedo"])
+        write_image(f"{args.aovs}_normal.png", aov["normal"] * 0.5 + 0.5)
+        d = aov["depth"]
+        hit = d < MISS_DEPTH
+        dmax = float(d[hit].max()) if hit.any() else 1.0
+        depth_img = np.where(hit, d / max(dmax, 1e-6), 1.0)
+        write_image(f"{args.aovs}_depth.png",
+                    np.repeat(depth_img[..., None], 3, axis=-1))
+        log.info("wrote AOVs: %s_{albedo,normal,depth}.png", args.aovs)
     log.info(
         "wrote %s: %d spp in %.2f s (%.2f spp/s, %d triangles)",
         args.out, renderer.frame, elapsed,

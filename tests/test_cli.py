@@ -80,3 +80,16 @@ def test_cli_preview_and_stats(tmp_path, capsys):
     assert read_png(out).shape == (16, 16, 3)
     # The stats table (ImGui Performance-window analog) printed something.
     assert "frame" in capsys.readouterr().out.lower()
+
+
+def test_cli_writes_aovs(tmp_path):
+    prefix = str(tmp_path / "r")
+    rc = main([SCENE, *BASE, "--spp", "1", "--out", str(tmp_path / "r.png"),
+               "--aovs", prefix])
+    assert rc == 0
+    for kind in ("albedo", "normal", "depth"):
+        img = read_png(f"{prefix}_{kind}.png")
+        assert img.shape == (16, 16, 3)
+    # The normal AOV encodes n*0.5+0.5: a flat miss-free Cornell view has
+    # non-trivial normal variation.
+    assert read_png(f"{prefix}_normal.png").std() > 0

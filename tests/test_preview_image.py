@@ -154,3 +154,23 @@ def test_cli_preview_scale(tmp_path):
     assert rc == 0
     # Final write is the full-resolution accumulated image.
     assert read_png(out).shape == (32, 32, 3)
+
+
+def test_aovs_shapes_and_semantics():
+    from raytracer_tpu.integrator.denoise import MISS_DEPTH
+
+    r = _renderer()
+    aov = r.aovs()
+    assert set(aov) == {"normal", "depth", "albedo"}
+    assert aov["normal"].shape == (32, 32, 3)
+    assert aov["depth"].shape == (32, 32)
+    assert aov["albedo"].shape == (32, 32, 3)
+    hit = aov["depth"] < MISS_DEPTH
+    assert hit.any()
+    # Hit normals are unit; miss normals are zero (denoise.py contract).
+    n = np.linalg.norm(aov["normal"], axis=-1)
+    assert np.allclose(n[hit], 1.0, atol=1e-4)
+    assert np.allclose(n[~hit], 0.0)
+    assert np.allclose(aov["albedo"][~hit], 1.0)
+    # The AOV pass shares the denoiser G-buffer cache.
+    assert r._gbuffer is not None
