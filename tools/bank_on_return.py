@@ -42,6 +42,8 @@ QUEUE = [
       "--1080p"], 2400),
     ("adaptive_lab",
      [sys.executable, "-u", "tools/r3_adaptive_lab.py"], 3600),
+    ("fullres_gate",
+     [sys.executable, "-u", "tools/fullres_gate_tpu.py"], 1800),
     # The grid/DDA question was decided on CPU alone (tools/r4_grid_proxy.py,
     # GRID_LAB.json: 8.5-18x the BVH's row iterations — negative without a
     # TPU microbench), so no grid step is queued here.

@@ -36,13 +36,17 @@ GATE_SPP = 256  # matched-spp oracle: same deterministic RNG streams as the
 SIZE = 64
 OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "golden", "oracle")
 
-# (name, scene, camera, size, spp) for --fullres; the gate tests
-# (tests/test_oracle.py) mirror these exactly.
+# (name, scene, camera, size, [spp...]) for --fullres; the gate tests
+# (tests/test_oracle.py) use the LOW spp (matched streams keep low spp
+# just as strict, and a 1-core CPU pays ~100-160 s per fast-path frame at
+# 256^2 — measured); the HIGH spp golden is gated on real TPU hardware by
+# tools/fullres_gate_tpu.py (queued in tools/bank_on_return.py), where a
+# frame is milliseconds.
 FULLRES = [
     ("cornell_256", "/root/reference/scenes/cornell_box.json", None,
-     256, 32),
+     256, (4, 32)),
     ("cornell_pbr_512", "/root/reference/scenes/cornell_pbr.glb",
-     "pbr_cam", 512, 16),
+     "pbr_cam", 512, (2, 16)),
 ]
 
 
@@ -90,20 +94,33 @@ def main_fullres():
     from raytracer_tpu.utils.config import RenderConfig
 
     os.makedirs(OUT_DIR, exist_ok=True)
-    for name, path, cam_kind, size, spp in FULLRES:
+    for name, path, cam_kind, size, spps in FULLRES:
         cam = None
         if cam_kind == "pbr_cam":
             cam = Camera.create(position=(0, 1.0, 3.2), aspect=1.0,
                                 target=(0, 1.0, 0))
         cfg = RenderConfig(width=size, height=size, accel="brute")
+        targets = sorted(spps)
+        missing = [s for s in targets if not os.path.exists(
+            os.path.join(OUT_DIR, f"{name}_{s}spp_f32.npy"))]
+        if not missing:
+            print(f"{name}: all goldens present", flush=True)
+            continue
         t0 = time.perf_counter()
         r = ProgressiveRenderer(load_scene(path), cam, cfg)
-        img = r.render(spp)
-        np.save(os.path.join(OUT_DIR, f"{name}_{spp}spp_f32.npy"),
-                np.asarray(img, np.float32))
-        print(f"{name}: {size}x{size} {spp} spp brute in "
-              f"{time.perf_counter() - t0:.0f}s, mean {img.mean():.4f}",
-              flush=True)
+        done = 0
+        for spp in targets:
+            if spp > max(missing):
+                break
+            img = r.render(spp - done)  # accumulation continues: frame
+            done = spp                  # streams stay matched per spp
+            if spp not in missing:
+                continue
+            np.save(os.path.join(OUT_DIR, f"{name}_{spp}spp_f32.npy"),
+                    np.asarray(img, np.float32))
+            print(f"{name}: {size}x{size} {spp} spp brute at "
+                  f"{time.perf_counter() - t0:.0f}s, mean {img.mean():.4f}",
+                  flush=True)
 
 
 def main():
