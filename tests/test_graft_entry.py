@@ -18,6 +18,7 @@ def _mod():
 
 def test_forced_cpu_device_count_parses_env(monkeypatch):
     g = _mod()
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     monkeypatch.setenv(
         "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
@@ -47,8 +48,30 @@ def test_forced_cpu_device_count_zero_off_cpu(monkeypatch, platforms):
     assert g._forced_cpu_device_count() == 0
 
 
+def test_forced_cpu_device_count_zero_when_axon_pool_present(monkeypatch):
+    """MULTICHIP_r04 root cause: with PALLAS_AXON_POOL_IPS set, the axon
+    sitecustomize overrides jax_platforms at import time, so JAX_PLATFORMS=
+    cpu in env is untrustworthy — the env must never qualify as forced-CPU
+    and routing must go to the re-exec (which pops the var)."""
+    g = _mod()
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    assert g._forced_cpu_device_count() == 0
+    calls = []
+    monkeypatch.setattr(
+        g, "_dryrun_body",
+        lambda n: (_ for _ in ()).throw(AssertionError("inline forbidden")))
+    monkeypatch.setattr(
+        g, "_reexec_on_virtual_cpu_mesh", lambda n: calls.append(n))
+    g.dryrun_multichip(8)
+    assert calls == [8]
+
+
 def test_dryrun_routes_inline_when_env_is_forced_cpu(monkeypatch):
     g = _mod()
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     monkeypatch.setenv(
         "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
@@ -107,7 +130,42 @@ def test_reexec_child_env_never_dials_tunnel(monkeypatch):
     env = captured["env"]
     assert "PALLAS_AXON_POOL_IPS" not in env
     assert env["JAX_PLATFORMS"] == "cpu"
+    assert env["_GRAFT_DRYRUN_CHILD"] == "1"  # child must never re-exec
     assert env["XLA_FLAGS"].startswith("--prior_flag=1 ")
     assert env["XLA_FLAGS"].endswith(
         "--xla_force_host_platform_device_count=8")
     assert "g._dryrun_body(8)" in captured["cmd"][2]
+
+
+def test_dryrun_passes_under_simulated_driver_env():
+    """End-to-end regression for MULTICHIP_r04: run dryrun_multichip(8) in a
+    subprocess with the EXACT env shape the driver uses — JAX_PLATFORMS=cpu
+    + the force-8 XLA flag set, AND PALLAS_AXON_POOL_IPS still present (the
+    hijack vector; pointed at localhost so an accidental dial fails fast
+    instead of touching real hardware). The fixed routing must treat the env
+    as untrusted, re-exec onto a clean forced-CPU child, and PASS."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=8"])
+    env["PALLAS_AXON_POOL_IPS"] = "127.0.0.1"
+    env.pop("_GRAFT_DRYRUN_CHILD", None)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
+        cwd="/root/repo", env=env, timeout=2700,
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, (
+        f"dryrun under simulated driver env failed (rc={proc.returncode})\n"
+        f"--- stdout ---\n{proc.stdout[-2000:]}\n"
+        f"--- stderr ---\n{proc.stderr[-4000:]}"
+    )
+    assert "dryrun PASS" in proc.stderr
