@@ -853,7 +853,7 @@ def _compact_prefix(n, depth, cfg: RenderConfig):
 
 def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
                      pixel_start=0, num_pixels=None, with_stats: bool = False,
-                     active=None):
+                     active=None, pixel_indices=None):
     """One progressive sample for a contiguous pixel range: returns radiance
     f32[N,3] (and a stats dict when with_stats=True).
 
@@ -861,6 +861,15 @@ def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
     `pixel_start`/`num_pixels` carve out a tile for multi-chip sharding
     (parallel/sharding.py): seeds and camera rays use GLOBAL pixel indices so
     a sharded render is bit-identical to a single-chip one.
+
+    `pixel_indices` (u32[N], overrides pixel_start/num_pixels) renders an
+    arbitrary — strided, repeated — set of global pixel ids: strided tiles
+    for width-vs-rate measurement (tools/r5_tilesize_lab.py), and repeated
+    ids with a per-lane `frame_number` vector batch S progressive samples
+    of one tile into a single launch (spp batching restores wavefront
+    width on small per-chip tiles). Lanes are per-pixel independent, so
+    each lane's radiance is bit-identical to the same (pixel, frame) lane
+    of any other launch shape.
 
     `frame_number` may be a PER-PIXEL u32[N] vector (adaptive sampling:
     each pixel's sample count is its own frame index, so seeds and the
@@ -872,10 +881,15 @@ def render_wavefront(scene, camera_ubo, frame_number, cfg: RenderConfig,
     lanes scattered in raster order would dilute every kernel group; the
     sort coalesces them into groups that terminate in one pop)."""
     cfg = cfg.resolve_accel()
-    n = cfg.num_pixels if num_pixels is None else num_pixels
-    pixel_idx = (
-        jnp.asarray(pixel_start, jnp.uint32) + jnp.arange(n, dtype=jnp.uint32)
-    )
+    if pixel_indices is not None:
+        pixel_idx = jnp.asarray(pixel_indices, jnp.uint32)
+        n = pixel_idx.shape[0]
+    else:
+        n = cfg.num_pixels if num_pixels is None else num_pixels
+        pixel_idx = (
+            jnp.asarray(pixel_start, jnp.uint32)
+            + jnp.arange(n, dtype=jnp.uint32)
+        )
     frame_u32 = jnp.asarray(frame_number, jnp.uint32)
     seed0 = rng.seed_pixels(pixel_idx, frame_u32)
 

@@ -334,3 +334,43 @@ def test_custom_t_min_falls_back_from_pallas():
         create_cornell_box(), None,
         RenderConfig(width=16, height=16, accel="pallas"))
     assert r2.config.accel == "pallas"
+
+
+def test_pixel_indices_strided_and_batched_bit_identity():
+    """render_wavefront(pixel_indices=...) must make each lane bit-identical
+    to the same (pixel, frame) lane of a full contiguous render: strided
+    subsets (the tile-size lab / interleaved sharding shape) and repeated
+    pixels with a per-lane frame vector (spp batching) both reduce to the
+    per-pixel-independent lane contract."""
+    import jax
+
+    from raytracer_tpu.integrator.wavefront import render_wavefront
+    from raytracer_tpu.scene.device_scene import bake_scene
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    cfg = RenderConfig(width=32, height=32, accel="bvh")
+    ds, _ = bake_scene(create_cornell_box())
+    cam = Camera.create(position=(0, 0, -3), aspect=1.0)
+    mats = cam.matrices()
+    ubo = {"inverse_view": jnp.asarray(mats["inverse_view"]),
+           "inverse_proj": jnp.asarray(mats["inverse_proj"])}
+
+    full1 = np.asarray(render_wavefront(ds, ubo, jnp.uint32(1), cfg))
+    full2 = np.asarray(render_wavefront(ds, ubo, jnp.uint32(2), cfg))
+
+    # Strided subset: every 4th pixel of frame 1.
+    idx = jnp.arange(0, cfg.num_pixels, 4, dtype=jnp.uint32)
+    sub = np.asarray(
+        render_wavefront(ds, ubo, jnp.uint32(1), cfg, pixel_indices=idx))
+    np.testing.assert_array_equal(sub, full1[::4])
+
+    # Batched: the same strided tile twice in one launch, frames 1 and 2.
+    idx2 = jnp.concatenate([idx, idx])
+    frames = jnp.concatenate([
+        jnp.full((idx.shape[0],), 1, jnp.uint32),
+        jnp.full((idx.shape[0],), 2, jnp.uint32),
+    ])
+    both = np.asarray(
+        render_wavefront(ds, ubo, frames, cfg, pixel_indices=idx2))
+    np.testing.assert_array_equal(both[: idx.shape[0]], full1[::4])
+    np.testing.assert_array_equal(both[idx.shape[0]:], full2[::4])
