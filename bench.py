@@ -287,6 +287,43 @@ def atrium_1m_datapoint(step):
     }
 
 
+def hall_datapoint(step):
+    """1080p render of the Sponza-geometry-class stress hall
+    (scene/benchmark.py:create_benchmark_hall): long thin drapes/beams,
+    >100:1 triangle-scale mix, occlusion corridor lit end-on — SAH split
+    quality and part-affinity sorting off the atrium's sphere-lattice
+    happy path (VERDICT r4 item 7). Camera looks down the corridor."""
+    from raytracer_tpu.ops.camera import Camera
+    from raytracer_tpu.scene.benchmark import create_benchmark_hall
+    from raytracer_tpu.scene.device_scene import bake_scene
+    from raytracer_tpu.utils.config import RenderConfig
+
+    scene = create_benchmark_hall(TARGET_TRIS)
+    cfg = RenderConfig(width=WIDTH, height=HEIGHT, max_depth=3,
+                       accel="pallas")
+    ds, _ = bake_scene(scene, leaf_size=cfg.bvh_leaf_size)
+    cam = Camera.create(position=(-27.0, 5.0, 0.0), aspect=WIDTH / HEIGHT,
+                        target=(30.0, 5.0, 0.0))
+    mats = cam.matrices()
+    ubo = {"inverse_view": jnp.asarray(mats["inverse_view"]),
+           "inverse_proj": jnp.asarray(mats["inverse_proj"])}
+    for f in range(2):
+        rad, nrays = step(ds, ubo, jnp.uint32(f), cfg)
+        drain(rad)
+    frames = 5
+    rad, total, times, outlier = timed_frames(step, ds, ubo, cfg, frames,
+                                              "hall_sponza_class")
+    dt = sum(times)
+    return {
+        "triangles": scene.num_triangles,
+        "mrays_per_sec": round(total / dt / 1e6, 2),
+        "ms_per_frame": round(1e3 * dt / frames, 1),
+        "frame_times_s": [round(t, 2) for t in times],
+        "outlier_frames": outlier,
+        "mean_radiance": float(np.asarray(rad).mean()),
+    }
+
+
 def preview_datapoint(step, ds, ubo):
     """Interactive-preview rate on the HEADLINE scene: 512x288 is the
     resolution examples/interactive_session.py edits against (the
@@ -540,6 +577,9 @@ def main():
     big = safe("atrium_1m", atrium_1m_datapoint, step)
     if big:
         log(json.dumps({"atrium_1m_multipart": big}))
+    hall = safe("hall", hall_datapoint, step)
+    if hall:
+        log(json.dumps({"hall_sponza_class": hall}))
     restir = safe("restir", restir_datapoint, ds, ubo)
     if restir:
         log(json.dumps(restir))
@@ -595,6 +635,7 @@ def main():
         "detail": detail,
         "conference_mirror_chairs": conf,
         "atrium_1m_multipart": big,
+        "hall_sponza_class": hall,
         "restir": restir,
         "preview_512x288": preview,
         "tpu_smoke_ok": smoke_ok,
