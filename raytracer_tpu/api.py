@@ -148,6 +148,7 @@ class ProgressiveRenderer:
         self._camera_ubo_dev = None
         self._gbuffer = None  # denoiser G-buffer cache (camera/scene-keyed)
         self._preview_gbuffers = {}  # per-preview-resolution G-buffer cache
+        self._prebake = None  # in-flight background bake (prebake_async)
         self.reservoir = None
         if self.config.use_restir:
             from raytracer_tpu.integrator.restir import Reservoir
@@ -238,14 +239,70 @@ class ProgressiveRenderer:
         self.camera = camera
         self.camera.dirty = True
 
+    def prebake_async(self):
+        """Start re-baking the scene's CURRENT state (pending journal
+        included) on a background thread, moving a topology edit's
+        bake+upload off the edit-to-frame critical path: while the bake
+        runs, the in-flight device frame / the editor's previous preview
+        keeps displaying, and the next begin_frame() swaps the prebaked
+        scene in instead of baking synchronously (the reference rebuilds
+        its AS synchronously on add/remove, gpu_scene.odin:430-455 — this
+        is the TPU build's overlap upgrade).
+
+        Safe under further edits: the prebake is keyed on the journal
+        length at launch; any edit that lands after it invalidates the
+        result and the replay falls back to the synchronous bake."""
+        import threading
+
+        key = len(self.scene.changes)
+        holder = {}
+        kwargs = self._bake_kwargs()
+
+        def work():
+            try:
+                holder["result"] = bake_scene(self.scene, **kwargs)
+            except Exception as e:  # noqa: BLE001 — surfaced at take time
+                holder["error"] = e
+
+        t = threading.Thread(target=work, daemon=True,
+                             name="raytracer-prebake")
+        t.start()
+        self._prebake = (key, t, holder)
+
+    def _take_prebake(self):
+        """Join and return a valid prebaked (device_scene, host_bvh), or
+        None (no prebake / stale / failed — failures fall back to the
+        synchronous bake and are logged, not raised)."""
+        pb, self._prebake = self._prebake, None
+        if pb is None:
+            return None
+        key, t, holder = pb
+        if key != len(self.scene.changes):
+            return None  # edits landed after the prebake: stale
+        t.join()
+        if "error" in holder:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "background prebake failed (%s); re-baking synchronously",
+                holder["error"],
+            )
+            return None
+        return holder["result"]
+
     def _replay_changes(self):
         """raytracing_renderer.odin:141-187: drain the journal, map each
         change to the cheapest device update, reset accumulation."""
-        changes = self.scene.drain_changes()
-        if not changes:
+        if not self.scene.changes:
+            self._prebake = None  # nothing pending: any prebake is a no-op
             return False
+        prebaked = self._take_prebake()
+        changes = self.scene.drain_changes()
         types = {c.type for c in changes}
-        if types == {SceneChangeType.MATERIAL_CHANGED}:
+        if prebaked is not None:
+            # The background bake consumed exactly this journal state.
+            self.device_scene, self._host_bvh = prebaked
+        elif types == {SceneChangeType.MATERIAL_CHANGED}:
             self.device_scene = update_materials(
                 self.device_scene, self.scene, **self._bake_kwargs()
             )
@@ -477,11 +534,20 @@ class ProgressiveRenderer:
         return self._camera_ubo_dev
 
     def preview_image(self, scale: int = 4,
-                      denoise: Optional[bool] = None) -> np.ndarray:
+                      denoise: Optional[bool] = None,
+                      upscale: bool = True) -> np.ndarray:
         """Low-latency preview frame f32[H,W,3]: trace ONE fresh sample at
         1/scale resolution with the current camera/scene, optionally run the
         edge-aware a-trous filter at that resolution, and bilinearly upscale
         to the full (height, width).
+
+        `upscale=False` returns the preview at its native 1/scale resolution
+        f32[H//scale, W//scale, 3] instead: at 1080p the full-resolution f32
+        readback is ~25 MB per frame through the device link, which
+        dominates the preview cadence — an editor that scales the small
+        image up for display itself (every UI toolkit does) gets a
+        scale^2-times smaller transfer (measured in BENCH_LOCAL.json
+        interactive_1080p rows).
 
         Pending scene edits and camera changes are applied first (the same
         begin_frame journal replay a step() would run — so the preview
@@ -558,6 +624,8 @@ class ProgressiveRenderer:
             )
         elif self.mesh is not None:
             rad = jnp.asarray(np.asarray(rad))
+        if not upscale:
+            return np.asarray(rad).reshape(ph, pw, 3)
         if (pw, ph) != (self.config.width, self.config.height):
             from raytracer_tpu.integrator.denoise import upscale_bilinear
 

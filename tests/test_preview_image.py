@@ -174,3 +174,98 @@ def test_aovs_shapes_and_semantics():
     assert np.allclose(aov["albedo"][~hit], 1.0)
     # The AOV pass shares the denoiser G-buffer cache.
     assert r._gbuffer is not None
+
+
+def test_preview_no_upscale_native_resolution():
+    """upscale=False returns the 1/scale-resolution image (the small-
+    transfer editor path) with the same content the upscaled preview is
+    built from."""
+    r = _renderer()
+    r.step()
+    small = r.preview_image(scale=4, denoise=True, upscale=False)
+    assert small.shape == (8, 8, 3)
+    assert np.isfinite(small).all() and small.max() > 0
+    big = r.preview_image(scale=4, denoise=True, upscale=True)
+    assert big.shape == (32, 32, 3)
+    # The upscaled image is the bilinear expansion of the small one:
+    # sampled at the small grid's aligned corners they agree.
+    from raytracer_tpu.integrator.denoise import upscale_bilinear
+    import jax.numpy as jnp
+
+    up = np.asarray(upscale_bilinear(
+        jnp.asarray(small.reshape(-1, 3)), 8, 8, 32, 32
+    )).reshape(32, 32, 3)
+    np.testing.assert_allclose(up, big, rtol=1e-5, atol=1e-6)
+
+
+def test_prebake_async_matches_sync_object_add():
+    """prebake_async after a topology edit must produce the SAME render the
+    synchronous replay produces (the bake just moves off the critical
+    path)."""
+    from raytracer_tpu.scene.model import Material, create_sphere
+
+    def add(scene):
+        m = scene.add_mesh(create_sphere(4, 4))
+        mat = scene.add_material(Material(albedo=(0.2, 0.4, 0.9)))
+        scene.add_object("added", m, mat, position=(0.0, -0.3, 0.2),
+                         scale=(0.25, 0.25, 0.25))
+
+    r_sync = _renderer()
+    r_sync.step()
+    add(r_sync.scene)
+    r_sync.step()
+    img_sync = np.asarray(r_sync.accum).copy()
+
+    r_pre = _renderer()
+    r_pre.step()
+    add(r_pre.scene)
+    r_pre.prebake_async()
+    r_pre.step()
+    img_pre = np.asarray(r_pre.accum).copy()
+    np.testing.assert_array_equal(img_sync, img_pre)
+    assert r_pre._prebake is None  # consumed
+
+
+def test_prebake_stale_after_second_edit_falls_back():
+    """An edit landing after prebake_async invalidates the prebake; the
+    replay re-bakes synchronously and the image reflects BOTH edits."""
+    import dataclasses
+
+    from raytracer_tpu.scene.model import Material, create_sphere
+
+    r = _renderer()
+    r.step()
+    m = r.scene.add_mesh(create_sphere(4, 4))
+    mat = r.scene.add_material(Material(albedo=(0.2, 0.4, 0.9)))
+    r.scene.add_object("added", m, mat, position=(0.0, -0.3, 0.2),
+                       scale=(0.25, 0.25, 0.25))
+    r.prebake_async()
+    # Second edit AFTER the prebake launched: prebake is stale.
+    r.scene.update_material(
+        0, dataclasses.replace(r.scene.materials[0], albedo=(0.9, 0.1, 0.1))
+    )
+    r.step()
+    img = np.asarray(r.accum)
+
+    r2 = _renderer()
+    r2.step()
+    m2 = r2.scene.add_mesh(create_sphere(4, 4))
+    mat2 = r2.scene.add_material(Material(albedo=(0.2, 0.4, 0.9)))
+    r2.scene.add_object("added", m2, mat2, position=(0.0, -0.3, 0.2),
+                        scale=(0.25, 0.25, 0.25))
+    r2.scene.update_material(
+        0, dataclasses.replace(r2.scene.materials[0], albedo=(0.9, 0.1, 0.1))
+    )
+    r2.step()
+    np.testing.assert_array_equal(img, np.asarray(r2.accum))
+
+
+def test_prebake_with_no_pending_edits_is_discarded():
+    r = _renderer()
+    r.step()
+    r.prebake_async()
+    before = np.asarray(r.accum).copy()
+    r.step()  # no edits: prebake dropped, accumulation continues
+    assert r._prebake is None
+    assert r.frame == 2
+    assert not np.array_equal(np.asarray(r.accum), before)
