@@ -291,3 +291,115 @@ def create_benchmark_hall(target_triangles: int = 300_000) -> Scene:
                 scale=(dw, dh, 1.0),
             )
     return scene
+
+
+def create_benchmark_lightgrid(n_lights: int = 64,
+                               target_triangles: int = 20_000) -> Scene:
+    """Many-light stress room: an 8x8 (default) grid of colored emissive
+    ceiling panels over a field of occluder boxes and spheres.
+
+    ReSTIR DI's value is proportional to the number of lights competing per
+    pixel (RIS over M candidates + temporal M growth — Bitterli et al.
+    2020); the atrium/hall scenes have 1-2 lights, where plain NEE's
+    power/distance^2 CDF pick (simple.rchit:543-583) is already near-optimal.
+    This scene is the regime the reference's restir scaffolding
+    (shaders/restir/restir_structs.glsl) targets: every surface point sees
+    dozens of panels of mixed power and color, most shadowed by the box
+    field, so the one-light-per-bounce NEE estimator is noisy while
+    reservoir reuse converges. Deterministic (index-hashed panel colors,
+    analytic layout); n_lights is capped at MAXLIGHTS=256
+    (simple.rchit:13)."""
+    n_lights = min(n_lights, 256)
+    scene = Scene()
+    wall = scene.add_material(
+        Material(name="wall", albedo=(0.62, 0.60, 0.58), roughness=0.9)
+    )
+    floor_mat = scene.add_material(
+        Material(name="floor", albedo=(0.45, 0.45, 0.48), roughness=0.6)
+    )
+    box_mats = [
+        scene.add_material(
+            Material(name="crate_warm", albedo=(0.55, 0.35, 0.18),
+                     roughness=0.8)
+        ),
+        scene.add_material(
+            Material(name="crate_cool", albedo=(0.20, 0.30, 0.45),
+                     roughness=0.7)
+        ),
+        scene.add_material(
+            Material(name="crate_metal", albedo=(0.85, 0.85, 0.88),
+                     metallic=1.0, roughness=0.25)
+        ),
+    ]
+
+    plane = scene.add_mesh(create_plane())
+    box = scene.add_mesh(_create_box())
+
+    # Room shell: 24 x 6 x 24.
+    W, H, D = 24.0, 6.0, 24.0
+    scene.add_object("Floor", plane, floor_mat, position=(0, 0, 0),
+                     scale=(W, D, 1), rotation=(-90, 0, 0))
+    scene.add_object("Ceiling", plane, wall, position=(0, H, 0),
+                     scale=(W, D, 1), rotation=(90, 0, 0))
+    scene.add_object("WallBack", plane, wall, position=(0, H / 2, D / 2),
+                     scale=(W, H, 1), rotation=(0, 180, 0))
+    scene.add_object("WallFront", plane, wall, position=(0, H / 2, -D / 2),
+                     scale=(W, H, 1))
+    scene.add_object("WallLeft", plane, wall, position=(-W / 2, H / 2, 0),
+                     scale=(D, H, 1), rotation=(0, 90, 0))
+    scene.add_object("WallRight", plane, wall, position=(W / 2, H / 2, 0),
+                     scale=(D, H, 1), rotation=(0, -90, 0))
+
+    # Light grid: ng x ng downward panels, colors/powers index-hashed so
+    # neighbors differ (power spans 16:1 — selection matters).
+    ng = max(int(math.sqrt(n_lights)), 1)
+    palette = [
+        (1.0, 0.85, 0.6), (0.6, 0.8, 1.0), (1.0, 0.5, 0.5),
+        (0.6, 1.0, 0.6), (1.0, 1.0, 0.9), (0.9, 0.6, 1.0),
+    ]
+    placed = 0
+    for i in range(ng):
+        for j in range(ng):
+            if placed >= n_lights:
+                break
+            color = palette[(i * 7 + j * 3) % len(palette)]
+            power = 2.0 * (1 + ((i * 5 + j) % 4)) * (
+                8.0 if (i * ng + j) % 9 == 0 else 1.0
+            )
+            m = scene.add_material(
+                Material(name=f"panel_{i}_{j}", albedo=(1, 1, 1),
+                         emission_color=color, emission_power=power)
+            )
+            x = -W / 2 + (i + 0.5) * W / ng
+            z = -D / 2 + (j + 0.5) * D / ng
+            scene.add_object(f"Panel_{i}_{j}", plane, m,
+                             position=(x, H - 0.02, z),
+                             scale=(0.45 * W / ng, 0.45 * D / ng, 1),
+                             rotation=(90, 0, 0))
+            placed += 1
+
+    # Occluder field: a 6x6 grid of boxes of varied heights (deterministic
+    # pseudo-random from the index) so most panels are shadowed from most
+    # floor points, plus a few high-res spheres to fill the triangle
+    # budget and add specular pickup of the colored panels.
+    nb = 6
+    for i in range(nb):
+        for j in range(nb):
+            h = 0.6 + 2.2 * (((i * 13 + j * 7) % 8) / 7.0)
+            s = 0.8 + 0.9 * (((i * 3 + j * 11) % 5) / 4.0)
+            x = -W / 2 + (i + 0.75) * W / (nb + 0.5)
+            z = -D / 2 + (j + 0.75) * D / (nb + 0.5)
+            scene.add_object(f"crate_{i}_{j}", box,
+                             box_mats[(i + 2 * j) % len(box_mats)],
+                             position=(x, h / 2, z), scale=(s, h, s))
+    fixed = scene.num_triangles
+    n_spheres = 4
+    per = max((target_triangles - fixed) // n_spheres, 8)
+    stacks = max(int(math.sqrt(per / 2.0)), 4)
+    sphere = scene.add_mesh(create_sphere(stacks, stacks))
+    for k in range(n_spheres):
+        x = -6.0 + 4.0 * k
+        scene.add_object(f"orb_{k}", sphere, box_mats[2 - (k % 3) % 3],
+                         position=(x, 1.4, -8.5 + 1.5 * (k % 2)),
+                         scale=(1.4, 1.4, 1.4))
+    return scene

@@ -92,3 +92,50 @@ def test_hall_deterministic_geometry():
     np.testing.assert_array_equal(
         a.meshes[2].positions, b.meshes[2].positions
     )
+
+
+def test_lightgrid_many_lights():
+    from raytracer_tpu.scene.benchmark import create_benchmark_lightgrid
+
+    scene = create_benchmark_lightgrid()
+    lights = [
+        o for o in scene.objects
+        if scene.materials[o.material_index].emission_power > 0
+    ]
+    assert len(lights) == 64  # the many-light regime (MAXLIGHTS=256 cap)
+    powers = {
+        scene.materials[o.material_index].emission_power for o in lights
+    }
+    assert max(powers) / min(powers) >= 16.0  # selection must matter
+    # The cap holds even when more are requested.
+    big = create_benchmark_lightgrid(n_lights=1024)
+    n_big = sum(
+        1 for o in big.objects
+        if big.materials[o.material_index].emission_power > 0
+    )
+    assert n_big <= 256
+
+
+def test_lightgrid_small_render():
+    from raytracer_tpu.api import render
+    from raytracer_tpu.ops.camera import Camera
+    from raytracer_tpu.scene.benchmark import create_benchmark_lightgrid
+    from raytracer_tpu.utils.config import RenderConfig
+
+    scene = create_benchmark_lightgrid(n_lights=16, target_triangles=4_000)
+    cam = Camera.create(position=(0.0, 4.2, -10.5), aspect=1.0,
+                        target=(0.0, 1.2, 1.5))
+    img = render(scene, cam, RenderConfig(width=24, height=24), num_frames=2)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01  # lit by the panel grid
+
+
+def test_lightgrid_deterministic_geometry():
+    from raytracer_tpu.scene.benchmark import create_benchmark_lightgrid
+
+    a = create_benchmark_lightgrid()
+    b = create_benchmark_lightgrid()
+    assert a.num_triangles == b.num_triangles
+    for ma, mb in zip(a.materials, b.materials):
+        assert ma.emission_power == mb.emission_power
+        assert ma.emission_color == mb.emission_color
