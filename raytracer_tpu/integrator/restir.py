@@ -379,16 +379,36 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
         res = _finalize(res)
 
     # --- 5. spatial reuse ---
+    # ALL taps read a SNAPSHOT of the post-temporal reservoir buffer (the
+    # paper's ping-pong input buffer, Bitterli et al. 2020 Alg. 5 /
+    # RTXDI's separate in/out reservoir textures). Reading the evolving
+    # buffer instead lets tap k import a neighbor that already merged THIS
+    # pixel's sample at tap k-1 — a positive feedback loop that temporal
+    # reuse then compounds across frames (measured on the 64-light grid:
+    # M grows ~2x per tap to ~1770 despite restir_max_m=128, and the
+    # accumulated image brightens 0.47 -> 0.91 mean by frame 16, ~2x the
+    # oracle). Snapshot taps + clamping the neighbor's M to restir_max_m
+    # restore the expected small-bias behavior (tests/test_restir.py
+    # many-light gate).
     width = cfg.width
+    src = res  # post-temporal snapshot: every tap reads this, never `res`
     halo = 0
     normal_ext = None
+    src_ext = None
     if axis_name is not None:
         # A tap moves at most `radius` rows plus one partial row in the
         # flattened index, so (radius+1)·width halo rows give exact coverage;
         # clamping to the tile size keeps tiny tiles legal (taps beyond the
         # clamped halo are dropped by `reach`, the documented bias case).
+        # The snapshot is fixed, so ONE halo exchange (2 ppermutes of 5
+        # small arrays) serves every tap.
         halo = min((int(cfg.restir_spatial_radius) + 1) * width, n)
         normal_ext = _exchange_halo(gbuf.normal, halo, axis_name, num_tiles)
+        src_ext = _exchange_halo(
+            {"m": src.m, "w": src.w, "light_index": src.light_index,
+             "uv": src.uv, "distance": src.distance},
+            halo, axis_name, num_tiles,
+        )
     start_i32 = jnp.asarray(pixel_start, jnp.uint32).astype(jnp.int32)
     for _ in range(cfg.restir_spatial_neighbors):
         r_a, seed = rng.rnd(seed)
@@ -405,31 +425,26 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
         )
         if axis_name is None:
             nbr = jnp.clip(py * width + px, 0, n - 1)
-            nbr_res = jax.tree_util.tree_map(lambda a: a[nbr], res)
+            nbr_res = jax.tree_util.tree_map(lambda a: a[nbr], src)
             nbr_normal = gbuf.normal[nbr]
             reach = in_bounds
         else:
-            # The reservoir evolves every iteration, so the halo is
-            # re-exchanged per tap round (2 ppermutes of 5 small arrays).
-            # Only the fields _reservoir_merge reads travel.
-            ext = _exchange_halo(
-                {"m": res.m, "w": res.w, "light_index": res.light_index,
-                 "uv": res.uv, "distance": res.distance},
-                halo, axis_name, num_tiles,
-            )
             ext_idx = py * width + px - start_i32 + halo
             reach = in_bounds & (ext_idx >= 0) & (ext_idx < n + 2 * halo)
             idx = jnp.clip(ext_idx, 0, n + 2 * halo - 1)
             nbr_res = Reservoir(
                 weight_sum=jnp.zeros(n, jnp.float32),  # not read by merge
                 target_pdf=jnp.zeros(n, jnp.float32),  # not read by merge
-                m=ext["m"][idx],
-                light_index=ext["light_index"][idx],
-                uv=ext["uv"][idx],
-                distance=ext["distance"][idx],
-                w=ext["w"][idx],
+                m=src_ext["m"][idx],
+                light_index=src_ext["light_index"][idx],
+                uv=src_ext["uv"][idx],
+                distance=src_ext["distance"][idx],
+                w=src_ext["w"][idx],
             )
             nbr_normal = normal_ext[idx]
+        nbr_res = nbr_res._replace(
+            m=jnp.minimum(nbr_res.m, float(cfg.restir_max_m))
+        )
         # Geometric similarity gate (normal + depth proximity) to limit bias.
         nrm_ok = dot(nbr_normal, gbuf.normal) > 0.9
         nbr_rad, _, _, _, nbr_valid = _unshadowed_radiance(

@@ -219,3 +219,68 @@ def test_restir_no_initial_visibility_stays_close():
     assert abs(ma - mb) / max(ma, 1e-9) < 0.06, (ma, mb)
     diff = np.abs(a - b).mean()
     assert diff / max(ma, 1e-9) < 0.35, diff
+
+
+def test_restir_many_lights_no_spatial_feedback():
+    """64-light-class scene (benchmark lightgrid, reduced): spatial reuse
+    must read a pre-spatial SNAPSHOT of the reservoir buffer (Bitterli
+    et al. 2020 Alg. 5's separate input buffer). Reading the evolving
+    buffer instead lets tap k import a neighbor that already merged this
+    pixel's sample at tap k-1 — a positive feedback loop: M grew ~2x per
+    tap (observed 1768 vs the 648 design bound) and the accumulated image
+    brightened to ~2x the oracle by frame 16. Gates: M respects its exact
+    design bound (candidates + clamped temporal + taps x clamped
+    neighbor), the ReSTIR mean tracks plain NEE, and the running mean does
+    not drift frame-over-frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu.integrator.restir import (
+        Reservoir,
+        render_frame_restir,
+    )
+    from raytracer_tpu.integrator.wavefront import render_frame
+    from raytracer_tpu.ops.camera import Camera
+    from raytracer_tpu.scene.benchmark import create_benchmark_lightgrid
+    from raytracer_tpu.scene.device_scene import bake_scene
+
+    W, H, FRAMES = 40, 24, 10
+    scene = create_benchmark_lightgrid(n_lights=16, target_triangles=2_000)
+    ds, _ = bake_scene(scene)
+    cam = Camera.create(position=(0.0, 4.2, -10.5), aspect=W / H,
+                        target=(0.0, 1.2, 1.5))
+    mats = cam.matrices()
+    ubo = {"inverse_view": jnp.asarray(mats["inverse_view"]),
+           "inverse_proj": jnp.asarray(mats["inverse_proj"])}
+    cfg = RenderConfig(width=W, height=H).resolve_accel()
+    cfg_r = cfg.replace(use_restir=True)
+
+    step_r = jax.jit(lambda a, r, f: render_frame_restir(
+        ds, ubo, a, r, f, cfg_r))
+    step_p = jax.jit(lambda a, f: render_frame(ds, ubo, a, f, cfg))
+
+    acc = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    res = Reservoir.empty(cfg.num_pixels)
+    accp = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    means = []
+    for f in range(FRAMES):
+        acc, res = step_r(acc, res, jnp.uint32(f))
+        accp = step_p(accp, jnp.uint32(f))
+        means.append(float(jnp.mean(acc)))
+
+    # Exact M design bound: initial candidates + temporal (clamped to
+    # max_m) + spatial taps x (neighbor clamped to max_m).
+    m_bound = (cfg_r.restir_initial_candidates + cfg_r.restir_max_m
+               + cfg_r.restir_spatial_neighbors * cfg_r.restir_max_m)
+    assert float(jnp.max(res.m)) <= m_bound + 1e-3, (
+        float(jnp.max(res.m)), m_bound)
+
+    # Mean agreement with plain NEE (the biased variant sits a few percent
+    # DARK from the normal-similarity gate + visibility kills; the feedback
+    # bug sat ~2x BRIGHT).
+    mp = float(jnp.mean(accp))
+    assert abs(means[-1] - mp) / max(mp, 1e-6) < 0.12, (means[-1], mp)
+
+    # No frame-over-frame drift once warmed: the last mean stays within 8%
+    # of the frame-4 mean (the bug showed +30% over the same span).
+    assert abs(means[-1] - means[3]) / max(means[3], 1e-6) < 0.08, means
