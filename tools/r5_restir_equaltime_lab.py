@@ -180,6 +180,25 @@ def run_scene(name: str, frames: int, oracle_frames: int) -> dict:
                                     / max(interp(curve_r, t), 1e-30), 3)}
         for t in grid
     ]
+    # Real-time regime (ReSTIR's actual target): each early ReSTIR
+    # checkpoint vs plain NEE interpolated at the SAME wall-clock instant.
+    # ratio > 1 = ReSTIR ahead despite its ~1.45x per-frame cost.
+    early_time = [
+        {"restir_frames": c["frames"], "wall_s": c["wall_s"],
+         "mse_restir": c["mse"],
+         "mse_plain_same_t": interp(curve_p, c["wall_s"]),
+         "plain_over_restir": round(
+             interp(curve_p, c["wall_s"]) / max(c["mse"], 1e-30), 3)}
+        for c in curve_r if c["frames"] <= 16
+    ]
+    # Crossover: the wall-clock instant where accumulating plain NEE
+    # overtakes ReSTIR (its MSE decays 1/N forever; ReSTIR plateaus at its
+    # bias floor). None within the run if ReSTIR still leads at t_max.
+    cross = None
+    for t in np.linspace(curve_r[0]["wall_s"], t_max, 200):
+        if interp(curve_p, t) < interp(curve_r, t):
+            cross = round(float(t), 2)
+            break
     return {
         "resolution": f"{width}x{height}",
         "lights": int(sum(
@@ -196,6 +215,8 @@ def run_scene(name: str, frames: int, oracle_frames: int) -> dict:
         "curve_plain": curve_p,
         "curve_restir": curve_r,
         "equal_time": equal_time,
+        "early_time": early_time,
+        "plain_overtakes_at_s": cross,
         "restir_bias_floor_mse": curve_r[-1]["mse"],
         "plain_final_mse": curve_p[-1]["mse"],
     }
@@ -213,6 +234,10 @@ def main():
 
     from raytracer_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
+    # Touch the backend up front and say so: the axon tunnel's stall mode
+    # (registration hangs for minutes after a recent process exit) is
+    # detectable by this line not appearing — watchdogs key on it.
+    print(f"backend ready: {jax.devices()}", flush=True)
 
     result = {
         "what": ("plain NEE vs ReSTIR DI error at equal wall-clock "
