@@ -26,11 +26,18 @@ Per frame (all lockstep over the pixel wavefront, fused under one jit):
      raytracing_renderer.odin:196-199 semantics — so no reprojection needed).
   5. Spatial reuse: `restir_spatial_neighbors` random neighbors within
      `restir_spatial_radius` pixels, merged with p̂ re-evaluated at the
-     receiver (unbiased combination needs a Z-count; we use the biased M-sum
-     variant standard in real-time use).
+     receiver. With cfg.restir_unbiased_spatial (default) the contribution
+     weight divides by the paper's Z-count — the M-mass of only those
+     participants whose own surface could have produced the chosen sample
+     (Bitterli et al. 2020 Alg. 6) — instead of the biased M-sum.
   6. Shade: direct = f(x, wi)·Le·G · W, plus emission on directly visible
      emitters; indirect continues through the standard path-traced bounces
      with NEE disabled at the first bounce (ReSTIR replaces it there).
+     With cfg.restir_final_visibility_feedback (default) the step-6
+     occlusion result also invalidates the reservoir handed to the next
+     frame, so spatially imported samples that are occluded HERE cannot
+     persist through temporal reuse shading black for ~M frames
+     (RESTIR_BIAS_DIAG.json quantifies both bias terms on the atrium).
 
 RNG: ReSTIR draws come from a dedicated third stream seeded with
 tea(pixel, frame ^ 0x9E3779B9) so the base integrator's stream parity with
@@ -134,11 +141,15 @@ def _reservoir_merge(res: Reservoir, other: Reservoir, other_target_here, r,
     )
 
 
-def _finalize(res: Reservoir) -> Reservoir:
-    """W = w_sum / (M * p̂) (the unbiased contribution weight)."""
+def _finalize(res: Reservoir, z=None) -> Reservoir:
+    """W = w_sum / (M * p̂). With `z` (the Alg.-6 Z-count: total M of only
+    the participants whose surface could have produced the chosen sample)
+    the denominator uses Z instead of M, removing the M-sum combination
+    bias."""
+    denom_m = res.m if z is None else z
     w = jnp.where(
-        (res.target_pdf > 0.0) & (res.m > 0.0),
-        res.weight_sum / jnp.maximum(res.m * res.target_pdf, 1e-20),
+        (res.target_pdf > 0.0) & (denom_m > 0.0),
+        res.weight_sum / jnp.maximum(denom_m * res.target_pdf, 1e-20),
         0.0,
     )
     return res._replace(w=w)
@@ -392,9 +403,12 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
     # many-light gate).
     width = cfg.width
     src = res  # post-temporal snapshot: every tap reads this, never `res`
+    m_canonical = res.m  # the receiver's own M-mass (initial RIS + temporal)
+    unbiased = cfg.restir_unbiased_spatial and cfg.restir_spatial_neighbors > 0
     halo = 0
     normal_ext = None
     src_ext = None
+    surf_ext = None
     if axis_name is not None:
         # A tap moves at most `radius` rows plus one partial row in the
         # flattened index, so (radius+1)·width halo rows give exact coverage;
@@ -409,6 +423,16 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
              "uv": src.uv, "distance": src.distance},
             halo, axis_name, num_tiles,
         )
+        if unbiased:
+            # The Z-count re-evaluates the FINAL sample's p̂ at each tap's
+            # surface, so the taps' surface attributes ride the same halo.
+            surf_ext = _exchange_halo(
+                {"position": gbuf.position, "albedo": gbuf.albedo,
+                 "roughness": gbuf.roughness, "metallic": gbuf.metallic,
+                 "hit": gbuf.hit, "object": gbuf.object, "wo": wo_world},
+                halo, axis_name, num_tiles,
+            )
+    taps = []  # (tap surface gather index, M-mass actually merged)
     start_i32 = jnp.asarray(pixel_start, jnp.uint32).astype(jnp.int32)
     for _ in range(cfg.restir_spatial_neighbors):
         r_a, seed = rng.rnd(seed)
@@ -451,11 +475,50 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
             scene, gbuf, wo_world, nbr_res.light_index, nbr_res.uv, cfg
         )
         target_here = luminance_rec601(nbr_rad)
-        res = _reservoir_merge(
-            res, nbr_res, target_here, r_m,
-            reach & nrm_ok & nbr_valid & (nbr_res.w > 0.0) & gbuf.hit,
-        )
-    res = _finalize(res)
+        participate = reach & nrm_ok & nbr_valid & (nbr_res.w > 0.0) & gbuf.hit
+        res = _reservoir_merge(res, nbr_res, target_here, r_m, participate)
+        if unbiased:
+            gather_idx = nbr if axis_name is None else idx
+            taps.append((gather_idx, jnp.where(participate, nbr_res.m, 0.0)))
+    if unbiased:
+        # Alg.-6 Z-count for the FINAL sample: the receiver always covers its
+        # own choice (it was selected with p̂ > 0 here); each tap contributes
+        # its merged M-mass iff the sample's p̂ evaluated at the TAP's surface
+        # is positive (i.e. that pixel could have produced it).
+        z = m_canonical
+        for gather_idx, m_mass in taps:
+            if axis_name is None:
+                tap_gbuf = GBuffer(
+                    position=gbuf.position[gather_idx],
+                    normal=gbuf.normal[gather_idx],
+                    albedo=gbuf.albedo[gather_idx],
+                    roughness=gbuf.roughness[gather_idx],
+                    metallic=gbuf.metallic[gather_idx],
+                    emission=gbuf.emission,  # unread by _unshadowed_radiance
+                    hit=gbuf.hit[gather_idx],
+                    object=gbuf.object[gather_idx],
+                )
+                tap_wo = wo_world[gather_idx]
+            else:
+                tap_gbuf = GBuffer(
+                    position=surf_ext["position"][gather_idx],
+                    normal=normal_ext[gather_idx],
+                    albedo=surf_ext["albedo"][gather_idx],
+                    roughness=surf_ext["roughness"][gather_idx],
+                    metallic=surf_ext["metallic"][gather_idx],
+                    emission=gbuf.emission,  # unread by _unshadowed_radiance
+                    hit=surf_ext["hit"][gather_idx],
+                    object=surf_ext["object"][gather_idx],
+                )
+                tap_wo = surf_ext["wo"][gather_idx]
+            tap_rad, _, _, _, tap_valid = _unshadowed_radiance(
+                scene, tap_gbuf, tap_wo, res.light_index, res.uv, cfg
+            )
+            covered = tap_valid & (luminance_rec601(tap_rad) > 0.0)
+            z = z + jnp.where(covered, m_mass, 0.0)
+        res = _finalize(res, z=z)
+    else:
+        res = _finalize(res)
 
     # --- 6. shade the final sample ---
     # A final visibility ray is still required: spatial reuse can import a
@@ -480,6 +543,20 @@ def restir_direct(scene, gbuf: GBuffer, wo_world, prev_reservoir, frame_number,
     shadow_rays = shadow_rays + jnp.sum(occ_final_active.astype(jnp.int32))
     direct = radiance * res.w[:, None]
     direct = jnp.where((shadeable & ~occ_final)[:, None], direct, 0.0)
+    if cfg.restir_final_visibility_feedback:
+        # The step-6 ray is already paid for: feed its verdict back so an
+        # occluded-here sample (typically a spatial import from across a
+        # shadow boundary) cannot ride next frame's temporal reuse with
+        # M up to restir_max_m, shading black for ~M frames. Same
+        # invalidation pattern as step 3 — zeroing only w would let the
+        # next frame's _finalize resurrect it from weight_sum.
+        killed = occ_final_active & occ_final
+        res = res._replace(
+            w=jnp.where(killed, 0.0, res.w),
+            weight_sum=jnp.where(killed, 0.0, res.weight_sum),
+            target_pdf=jnp.where(killed, 0.0, res.target_pdf),
+            light_index=jnp.where(killed, -1, res.light_index),
+        )
     return direct, res, shadow_rays
 
 

@@ -120,6 +120,20 @@ class RenderConfig:
     # visibility pass always runs, so the estimator stays unbiased either
     # way). Consumes no RNG draws, so toggling never shifts streams.
     restir_initial_visibility: bool = True
+    # Feed the step-6 final-visibility result back into the reservoir handed
+    # to the next frame's temporal reuse (RTXDI's "final visibility feeds the
+    # reservoir"). Without it, a sample imported by spatial reuse that is
+    # occluded at THIS pixel survives temporal reuse with M up to
+    # restir_max_m and keeps shading as black for ~M frames — the dominant
+    # term of the atrium bias floor measured in RESTIR_BIAS_DIAG.json.
+    # Costs zero extra rays (the step-6 ray is traced either way).
+    restir_final_visibility_feedback: bool = True
+    # Unbiased spatial combination (Bitterli et al. 2020 Alg. 6): count the
+    # denominator Z over only those participants (receiver + spatial taps)
+    # whose surface could have produced the chosen sample (p-hat > 0 there),
+    # instead of the biased M-sum over all of them. Costs one extra
+    # unshadowed-radiance evaluation per tap (pure math + gathers, no rays).
+    restir_unbiased_spatial: bool = True
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:

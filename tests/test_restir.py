@@ -43,6 +43,24 @@ def test_finalize_weight():
     assert abs(float(out.w[0]) - 1.0) < 1e-6  # 6/(3*2)
 
 
+def test_finalize_z_count_denominator():
+    """Alg.-6 unbiased combination: W divides by the Z-count (M-mass of
+    participants that could have produced the sample), not the full M.
+    Here 3 candidates were seen but only Z=1.5 worth covered the choice."""
+    r = Reservoir.empty(1)
+    r = r._replace(
+        weight_sum=jnp.asarray([6.0]),
+        target_pdf=jnp.asarray([2.0]),
+        m=jnp.asarray([3.0]),
+    )
+    out = _finalize(r, z=jnp.asarray([1.5]))
+    assert abs(float(out.w[0]) - 2.0) < 1e-6  # 6/(1.5*2)
+    # z=0 (nothing covers it — cannot happen for a chosen sample, but the
+    # guard must not divide by zero) -> W = 0.
+    out0 = _finalize(r, z=jnp.asarray([0.0]))
+    assert float(out0.w[0]) == 0.0
+
+
 def test_ris_unbiased_single_lane():
     """RIS over M candidates of a two-'light' toy integrand: the estimator
     <target>/p̂ * W must average to the true integral."""
@@ -155,6 +173,64 @@ def test_restir_visibility_kills_occluded_samples():
     # frame's temporal reuse.
     assert float(jnp.max(res_occ.weight_sum)) == 0.0
     assert float(jnp.max(res_occ.w)) == 0.0
+
+
+def test_restir_final_visibility_feedback_invalidates_reservoir():
+    """The step-6 occlusion verdict must invalidate the reservoir handed to
+    the next frame (restir_final_visibility_feedback): without it, a sample
+    imported by spatial reuse that is occluded at THIS pixel survives
+    temporal reuse with M up to restir_max_m and shades black for ~M frames
+    (the dominant atrium bias-floor term, RESTIR_BIAS_DIAG.json). Step-3
+    visibility is disabled so ONLY the step-6 feedback can do the killing."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.integrator import wavefront as wf
+    from raytracer_tpu.integrator.restir import GBuffer, restir_direct
+    from raytracer_tpu.ops.camera import Camera
+    from raytracer_tpu.scene.device_scene import bake_scene
+    from raytracer_tpu.scene.model import create_cornell_box
+
+    w = h = 16
+    base = RenderConfig(width=w, height=h, use_restir=True,
+                        restir_initial_visibility=False).resolve_accel()
+    ds, _ = bake_scene(create_cornell_box())
+    cam = Camera.create(position=(0, 0, -3), aspect=1.0)
+    mats = cam.matrices()
+    n = w * h
+    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+    jitter = jnp.full((n, 2), 0.5, jnp.float32)
+    origin, direction = wf._camera_rays(
+        jnp.asarray(mats["inverse_view"]), jnp.asarray(mats["inverse_proj"]),
+        w, h, jitter, pixel_idx,
+    )
+    alive = jnp.ones((n,), bool)
+    hit = wf._trace(ds, origin, direction, base, alive)
+    lane = alive & hit.hit
+    surf = wf.fetch_surface(ds, hit, direction, lane)
+    gbuf = GBuffer(
+        position=surf.world_pos, normal=surf.world_nrm, albedo=surf.albedo,
+        roughness=surf.roughness, metallic=surf.metallic,
+        emission=surf.emission_color * surf.emission_power[:, None],
+        hit=lane, object=surf.obj,
+    )
+
+    def all_occluded(o, d, t_max, skip_obj, active):
+        return jnp.ones((n,), bool)
+
+    direct, res, _ = restir_direct(ds, gbuf, direction, None, 1, base,
+                                   all_occluded)
+    assert float(jnp.sum(jnp.abs(direct))) == 0.0
+    assert float(jnp.max(res.w)) == 0.0
+    assert float(jnp.max(res.weight_sum)) == 0.0
+    assert (np.asarray(res.light_index) == -1).all()
+
+    # The guard documents the old behavior: with feedback off the occluded
+    # samples DO survive into the returned reservoir.
+    off = base.replace(restir_final_visibility_feedback=False)
+    direct2, res2, _ = restir_direct(ds, gbuf, direction, None, 1, off,
+                                     all_occluded)
+    assert float(jnp.sum(jnp.abs(direct2))) == 0.0  # shading is still dark
+    assert float(jnp.max(res2.w)) > 0.0  # ...but the sample persists
 
 
 def test_restir_reset_on_camera_move():
