@@ -94,6 +94,12 @@ def main() -> None:
     for f in range(args.oracle):
         acc = plain_step(ds, ubo, acc, jnp.uint32(ORACLE_OFFSET + f),
                          jnp.uint32(f), cfg)
+        if (f + 1) % 128 == 0:
+            # Heartbeat sync: bounds the in-flight queue and makes a tunnel
+            # stall visible in the log instead of one silent 10-min block.
+            jax.block_until_ready(acc)
+            print(f"oracle {f+1}/{args.oracle} "
+                  f"({time.perf_counter()-t0:.0f}s)", flush=True)
     oracle = np.asarray(jax.block_until_ready(acc), np.float64)
     print(f"oracle {args.oracle} spp in {time.perf_counter()-t0:.1f}s "
           f"(mean {oracle.mean():.5f})", flush=True)
