@@ -26,18 +26,27 @@ Per frame (all lockstep over the pixel wavefront, fused under one jit):
      raytracing_renderer.odin:196-199 semantics — so no reprojection needed).
   5. Spatial reuse: `restir_spatial_neighbors` random neighbors within
      `restir_spatial_radius` pixels, merged with p̂ re-evaluated at the
-     receiver. With cfg.restir_unbiased_spatial (default) the contribution
+     receiver. With cfg.restir_unbiased_spatial the contribution
      weight divides by the paper's Z-count — the M-mass of only those
      participants whose own surface could have produced the chosen sample
      (Bitterli et al. 2020 Alg. 6) — instead of the biased M-sum.
   6. Shade: direct = f(x, wi)·Le·G · W, plus emission on directly visible
      emitters; indirect continues through the standard path-traced bounces
      with NEE disabled at the first bounce (ReSTIR replaces it there).
-     With cfg.restir_final_visibility_feedback (default) the step-6
+     With cfg.restir_final_visibility_feedback the step-6
      occlusion result also invalidates the reservoir handed to the next
      frame, so spatially imported samples that are occluded HERE cannot
      persist through temporal reuse shading black for ~M frames
      (RESTIR_BIAS_DIAG.json quantifies both bias terms on the atrium).
+
+Both reuse "fixes" (steps 5/6 options) default OFF from measurement:
+RESTIR_FLOOR_LAB.json (atrium) + RESTIR_DEFAULT_LAB.json (64-light grid)
+show each one raising long-run error on at least one scene and BOTH
+together the worst variant on both scenes, while early frames — the
+real-time regime ReSTIR is for — are identical across variants. The +6%
+energy divergence that motivated them is radiance-clamp interplay (plain's
+spikier MIS estimator loses more to the 5.0 clamp), not reuse bias:
+unclamped, the RIS/plain energy ratio flips from 1.060 to 0.956.
 
 RNG: ReSTIR draws come from a dedicated third stream seeded with
 tea(pixel, frame ^ 0x9E3779B9) so the base integrator's stream parity with

@@ -127,13 +127,28 @@ class RenderConfig:
     # restir_max_m and keeps shading as black for ~M frames — the dominant
     # term of the atrium bias floor measured in RESTIR_BIAS_DIAG.json.
     # Costs zero extra rays (the step-6 ray is traced either way).
-    restir_final_visibility_feedback: bool = True
+    # Default OFF, from measurement (RESTIR_FLOOR_LAB.json +
+    # RESTIR_DEFAULT_LAB.json): it conditions the reused distribution on
+    # "visible here", a +1.4–3% brightening that wins slightly on the
+    # atrium (MSE 0.0697 vs 0.0738 at 256 frames) but loses on the
+    # 64-light grid (0.00226 vs 0.00216, energy 1.014 vs 0.999); early
+    # frames (the real-time regime) are identical either way.
+    restir_final_visibility_feedback: bool = False
     # Unbiased spatial combination (Bitterli et al. 2020 Alg. 6): count the
     # denominator Z over only those participants (receiver + spatial taps)
     # whose surface could have produced the chosen sample (p-hat > 0 there),
     # instead of the biased M-sum over all of them. Costs one extra
     # unshadowed-radiance evaluation per tap (pure math + gathers, no rays).
-    restir_unbiased_spatial: bool = True
+    # Default OFF, from measurement: on both lab scenes the Alg.-6 Z-count
+    # removes an M-sum underweighting that happens to offset the
+    # visible-conditioning brightening, so enabling it RAISES long-run
+    # error (atrium MSE 0.125 vs 0.0738; grid 0.00255 vs 0.00216) — and
+    # both fixes together are the worst variant on both scenes (0.158
+    # rising / energy 1.136 on the atrium). The measured +6% energy
+    # divergence that motivated these fixes is radiance-clamp interplay,
+    # not reuse bias: unclamped, RIS/plain flips to 0.956
+    # (RESTIR_DEFAULT_LAB.json atrium_unclamped).
+    restir_unbiased_spatial: bool = False
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:

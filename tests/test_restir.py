@@ -192,7 +192,8 @@ def test_restir_final_visibility_feedback_invalidates_reservoir():
 
     w = h = 16
     base = RenderConfig(width=w, height=h, use_restir=True,
-                        restir_initial_visibility=False).resolve_accel()
+                        restir_initial_visibility=False,
+                        restir_final_visibility_feedback=True).resolve_accel()
     ds, _ = bake_scene(create_cornell_box())
     cam = Camera.create(position=(0, 0, -3), aspect=1.0)
     mats = cam.matrices()
