@@ -368,8 +368,10 @@ class ProgressiveRenderer:
 
     # -- the hot loop ---------------------------------------------------
     def step(self) -> bool:
-        """One progressive sample. Returns False when the accumulation limit
-        has been reached (frame skipped, like raytracing_renderer.odin:204)."""
+        """One progressive step — cfg.spp_batch samples (default 1) in one
+        launch. Returns False when the accumulation limit has been reached
+        (frame skipped, like raytracing_renderer.odin:204). `self.frame`
+        always counts SAMPLES accumulated, not launches."""
         self.begin_frame()
         limit = self.config.accumulation_limit
         if limit is not None and self.frame >= limit:
@@ -413,7 +415,7 @@ class ProgressiveRenderer:
                 jnp.uint32(self.frame),
                 self.config,
             )
-        self.frame += 1
+        self.frame += self.config.spp_batch
         return True
 
     def _step_sharded(self):
@@ -447,7 +449,10 @@ class ProgressiveRenderer:
         ))
 
     def render(self, num_frames: int) -> np.ndarray:
-        for _ in range(num_frames):
+        """Accumulate `num_frames` more SAMPLES (launch count divides by
+        cfg.spp_batch) and return the image."""
+        target = self.frame + num_frames
+        while self.frame < target:
             if not self.step():
                 break
         return self.image()

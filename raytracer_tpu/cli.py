@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "bilinearly upscaled to the output size) instead of "
                         "reading back the full accumulation — a 1080p edit "
                         "loop at K=4 traces 1/16 of the rays per preview")
+    p.add_argument("--spp-batch", type=int, default=1, metavar="S",
+                   help="render S progressive samples per launch (one "
+                        "wavefront of S x pixels lanes). The measured "
+                        "small-tile mitigation for multi-chip meshes "
+                        "(TILESIZE_LAB.json): restores the wavefront width "
+                        "a small per-chip tile loses; latency per step "
+                        "rises ~S-fold. --spp must divide by S")
     p.add_argument("--stats-every", type=int, default=0, metavar="N",
                    help="print the stats table every N frames (the ImGui "
                         "Performance-window analog)")
@@ -86,6 +93,12 @@ def main(argv=None) -> int:
     if args.restir and args.adaptive > 0:
         parser.error("--restir and --adaptive are mutually exclusive "
                      "(ReSTIR carries its own temporal state)")
+    if args.spp_batch > 1:
+        if args.restir or args.adaptive > 0:
+            parser.error("--spp-batch requires the plain progressive path "
+                         "(no --restir / --adaptive)")
+        if args.spp % args.spp_batch != 0:
+            parser.error("--spp must be a multiple of --spp-batch")
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(levelname)s %(name)s: %(message)s",
@@ -108,6 +121,7 @@ def main(argv=None) -> int:
         use_restir=args.restir,
         adaptive_tol=args.adaptive,
         denoise_preview=args.denoise,
+        spp_batch=args.spp_batch,
     )
     camera = Camera.create(
         position=tuple(args.camera),
@@ -127,13 +141,17 @@ def main(argv=None) -> int:
     stats = RenderStats()
     stats.set_scene_counts(scene)
     start = time.perf_counter()
-    for i in range(renderer.frame, args.spp):
+    first_launch = True
+    while renderer.frame < args.spp:
         stats.frame_begin()
-        renderer.step()
+        if not renderer.step():
+            break
         stats.frame_end()
-        if args.verbose or (i + 1) % 16 == 0 or i == 0:
+        i = renderer.frame - 1  # samples accumulated, 0-based last sample
+        if args.verbose or (i + 1) % 16 == 0 or first_launch:
             elapsed = time.perf_counter() - start
             log.info("frame %d/%d (%.2f s)", i + 1, args.spp, elapsed)
+        first_launch = False
         if args.stats_every and (i + 1) % args.stats_every == 0:
             print(stats.format_table())
         if args.preview and (i + 1) % args.preview == 0:

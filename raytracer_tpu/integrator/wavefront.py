@@ -1068,9 +1068,47 @@ def accumulate(accum, radiance, frame_number):
     return jnp.where(first, radiance, accum + (radiance - accum) * a)
 
 
+def render_tile_spp_batched(scene, camera_ubo, accum_tile, frame_number,
+                            cfg: RenderConfig, pixel_start=0, n_local=None):
+    """cfg.spp_batch progressive samples of one contiguous pixel tile in a
+    SINGLE wavefront launch: pixel ids repeated S times with a per-lane
+    frame vector frame_number + [0..S), folded into the accumulation by S
+    applications of the one sequential formula (`accumulate`) — so the
+    result matches S sequential `render_frame` steps up to XLA fusion
+    reassociation (the suite's sharded-vs-single 1e-6 standard).
+
+    This is the measured small-tile mitigation (TILESIZE_LAB.json): per-chip
+    rate falls with wavefront width, and batching S samples restores the
+    width a small per-chip tile loses. Lanes are per-pixel independent, so
+    each lane's radiance is the same as the same (pixel, frame) lane of a
+    1-spp launch."""
+    S = cfg.spp_batch
+    n = cfg.num_pixels if n_local is None else n_local
+    pix = (jnp.asarray(pixel_start, jnp.uint32)
+           + jnp.arange(n, dtype=jnp.uint32))
+    frame_u32 = jnp.asarray(frame_number, jnp.uint32)
+    frames = frame_u32 + jnp.repeat(
+        jnp.arange(S, dtype=jnp.uint32), n, total_repeat_length=S * n
+    )
+    radiance = render_wavefront(
+        scene, camera_ubo, frames, cfg, pixel_indices=jnp.tile(pix, S)
+    )
+    radiance = radiance.reshape(S, n, 3)
+    for s in range(S):
+        accum_tile = accumulate(
+            accum_tile, radiance[s], frame_u32 + jnp.uint32(s)
+        )
+    return accum_tile
+
+
 def render_frame(scene, camera_ubo, accum, frame_number, cfg: RenderConfig):
     """Progressive accumulation step (simple.rgen:127-136): returns the new
     accumulation buffer f32[N,3]. jit this (scene/cfg static via closure or
-    static_argnums)."""
+    static_argnums). With cfg.spp_batch = S > 1 the step renders S samples
+    in one launch and advances the accumulation by S counts."""
+    if cfg.spp_batch > 1:
+        return render_tile_spp_batched(
+            scene, camera_ubo, accum, frame_number, cfg
+        )
     radiance = render_wavefront(scene, camera_ubo, frame_number, cfg)
     return accumulate(accum, radiance, frame_number)

@@ -75,6 +75,18 @@ def render_frame_sharded(scene, camera_ubo, accum, frame_number,
     def tile_fn(scene, camera_ubo, accum_tile, frame_number):
         tile = jax.lax.axis_index(AXIS)
         start = tile.astype(jnp.uint32) * jnp.uint32(n_local)
+        if cfg.spp_batch > 1:
+            # The measured small-tile mitigation (TILESIZE_LAB.json): S
+            # jittered samples of this tile in ONE launch restore the
+            # wavefront width a small per-chip tile loses.
+            from raytracer_tpu.integrator.wavefront import (
+                render_tile_spp_batched,
+            )
+
+            return render_tile_spp_batched(
+                scene, camera_ubo, accum_tile, frame_number, cfg,
+                pixel_start=start, n_local=n_local,
+            )
         radiance = render_wavefront(
             scene, camera_ubo, frame_number, cfg,
             pixel_start=start, num_pixels=n_local,

@@ -150,6 +150,21 @@ class RenderConfig:
     # (RESTIR_DEFAULT_LAB.json atrium_unclamped).
     restir_unbiased_spatial: bool = False
 
+    # Samples-per-launch batching (BEYOND-REFERENCE; the measured small-tile
+    # mitigation from TILESIZE_LAB.json): each progressive step renders
+    # spp_batch jittered samples of every pixel in ONE wavefront launch
+    # (repeated pixel ids + a per-lane frame vector), folding them into the
+    # accumulation with the exact sequential formula. Per-chip throughput
+    # falls with wavefront width (3.84 Mrays/s full-frame -> 1.47 on a 1/64
+    # tile); batching restores the width a small per-chip tile loses —
+    # S=16 on the 1/64 tile recovers 3.42 Mrays/s/chip, putting a v5e-64
+    # slice at ~219 Mrays/s (above the 200 target; BASELINE.md). Latency
+    # per step rises ~S-fold: use on multi-chip meshes where the per-chip
+    # tile is small, not single-chip full frames. Mutually exclusive with
+    # ReSTIR (per-frame temporal reuse is inherently sequential) and
+    # adaptive sampling (per-pixel counts own the frame index).
+    spp_batch: int = 1
+
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:
             raise ValueError("width/height must be positive")
@@ -157,6 +172,23 @@ class RenderConfig:
             raise ValueError("max_depth must be >= 1")
         if self.accel not in ("auto", "pallas", "bvh", "brute"):
             raise ValueError(f"unknown accel {self.accel!r}")
+        if self.spp_batch < 1:
+            raise ValueError("spp_batch must be >= 1")
+        if self.spp_batch > 1:
+            if self.use_restir:
+                raise ValueError(
+                    "spp_batch > 1 is incompatible with ReSTIR: temporal "
+                    "reuse consumes the previous frame's reservoir, so "
+                    "samples cannot be batched into one launch")
+            if self.adaptive_tol > 0:
+                raise ValueError(
+                    "spp_batch > 1 is incompatible with adaptive sampling: "
+                    "each pixel's sample count is its own frame index")
+            if (self.accumulation_limit is not None
+                    and self.accumulation_limit % self.spp_batch != 0):
+                raise ValueError(
+                    "accumulation_limit must be a multiple of spp_batch "
+                    "(each step() accumulates spp_batch samples)")
 
     @property
     def num_pixels(self) -> int:
